@@ -1,0 +1,191 @@
+"""Pinned HTML decoding, link extraction, and text extraction kernels.
+
+Pure-Python (stdlib ``html.parser`` + ``urllib.parse``) because lxml/parsel
+are absent in this sandbox (SURVEY.md §0.1). Semantics mirror the documented
+behavior of Scrapy's LxmlLinkExtractor and ``TextResponse.text``
+(upstream symbols: ``scrapy/linkextractors/lxmlhtml.py::LxmlLinkExtractor``,
+``scrapy/http/response/text.py::TextResponse``), pinned in FIXTURES.md §3.
+These exact functions run inside Arrow-batched pandas UDFs on executors
+(sparkcrawl/udfs.py) AND in the single-process oracle — byte-identical
+extracted text per url is the BASELINE.json:15 invariant.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+from sparkcrawl.canon import canonicalize_url
+
+__all__ = ["decode_html", "extract_links", "extract_text", "Link"]
+
+_WS_RE = re.compile(r"\s+")
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
+)
+_SKIP_TAGS = frozenset({"script", "style", "template"})
+# Void elements never close, so they must not affect skip-depth tracking.
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+@dataclass(frozen=True)
+class Link:
+    """Extracted hyperlink (reference analogue: scrapy/link.py::Link)."""
+
+    url: str
+    text: str
+    nofollow: bool
+
+
+def decode_html(html: bytes) -> str:
+    """Pinned decode precedence: BOM → <meta charset> in first 4096 bytes →
+    UTF-8 with errors='replace' (FIXTURES.md §3)."""
+    if html.startswith(b"\xef\xbb\xbf"):
+        return html[3:].decode("utf-8", errors="replace")
+    if html.startswith(b"\xff\xfe"):
+        return html[2:].decode("utf-16-le", errors="replace")
+    if html.startswith(b"\xfe\xff"):
+        return html[2:].decode("utf-16-be", errors="replace")
+    m = _META_CHARSET_RE.search(html[:4096])
+    if m:
+        enc = m.group(1).decode("ascii", errors="replace").lower()
+        try:
+            return html.decode(enc, errors="replace")
+        except LookupError:
+            pass
+    return html.decode("utf-8", errors="replace")
+
+
+class _LinkParser(HTMLParser):
+    """Collects <a>/<area> hrefs + anchor text + rel=nofollow, and the first
+    <base href>. Raw hrefs are resolved against the final base AFTER the
+    parse (document-level base semantics, w3lib get_base_url behavior)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.raw: list[list] = []  # [href, text_parts, nofollow]
+        self.base_href: str | None = None
+        self._open_a: list | None = None
+
+    def _attrs_get(self, attrs, name):
+        for k, v in attrs:
+            if k == name:
+                return v
+        return None
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "base" and self.base_href is None:
+            href = self._attrs_get(attrs, "href")
+            if href:
+                self.base_href = href.strip()
+        elif tag in ("a", "area"):
+            href = self._attrs_get(attrs, "href")
+            rel = self._attrs_get(attrs, "rel") or ""
+            nofollow = "nofollow" in rel.lower().split()
+            if tag == "area":
+                if href is not None:
+                    self.raw.append([href, [], nofollow])
+            else:
+                # close an unterminated previous <a> first (malformed HTML)
+                if self._open_a is not None:
+                    self.raw.append(self._open_a)
+                self._open_a = [href, [], nofollow] if href is not None else None
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._open_a is not None:
+            self.raw.append(self._open_a)
+            self._open_a = None
+
+    def handle_data(self, data):
+        if self._open_a is not None:
+            self._open_a[1].append(data)
+
+    def close(self):
+        super().close()
+        if self._open_a is not None:
+            self.raw.append(self._open_a)
+            self._open_a = None
+
+
+def extract_links(html: bytes, base_url: str) -> list[Link]:
+    """Pinned link extraction (FIXTURES.md §3).
+
+    Document order; first <base href> replaces base_url; urljoin; drop
+    non-http(s), empty, and fragment-only hrefs; anchor text = descendant
+    text, whitespace-collapsed and stripped; per-document uniqueness on the
+    canonical form, first occurrence wins.
+    """
+    parser = _LinkParser()
+    try:
+        parser.feed(decode_html(html))
+        parser.close()
+    except Exception:
+        pass  # malformed HTML: keep whatever was collected
+    base = parser.base_href or base_url
+    if parser.base_href is not None:
+        base = urljoin(base_url, parser.base_href)
+
+    out: list[Link] = []
+    seen_canon: set[str] = set()
+    for href, text_parts, nofollow in parser.raw:
+        href = (href or "").strip()
+        if not href or href.startswith("#"):
+            continue
+        try:
+            absu = urljoin(base, href)
+        except ValueError:
+            continue
+        if not (absu.startswith("http://") or absu.startswith("https://")):
+            continue
+        try:
+            canon = canonicalize_url(absu)
+        except ValueError:
+            continue
+        if canon in seen_canon:
+            continue
+        seen_canon.add(canon)
+        text = _WS_RE.sub(" ", "".join(text_parts)).strip()
+        out.append(Link(url=absu, text=text, nofollow=nofollow))
+    return out
+
+
+class _TextParser(HTMLParser):
+    """Concatenates text nodes, skipping script/style/template subtrees and
+    comments (handle_comment unimplemented → dropped)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS and tag not in _VOID:
+            self._skip_depth += 1
+
+    def handle_startendtag(self, tag, attrs):
+        pass  # self-closing skip tag has no subtree
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0:
+            self.parts.append(data)
+
+
+def extract_text(html: bytes) -> str:
+    """Pinned text extraction (FIXTURES.md §3): decode; drop
+    script/style/template subtrees and comments; concatenate text nodes in
+    document order; collapse whitespace runs to one space; strip."""
+    parser = _TextParser()
+    try:
+        parser.feed(decode_html(html))
+        parser.close()
+    except Exception:
+        pass
+    return _WS_RE.sub(" ", "".join(parser.parts)).strip()
