@@ -1,0 +1,231 @@
+"""Single-process reference oracle for the crawl pipeline (SURVEY.md §5.2.3).
+
+The reference checkout is empty (SURVEY.md §0), so this ~250-line pure-Python
+crawler IS the executable reference: it implements exactly the pinned
+semantics (FIXTURES.md §3–§4) using the same kernel functions
+(sparkcrawl.canon/extract/robots) the Spark pipeline runs inside its pandas
+UDFs. The Spark pipeline must reproduce, bit-for-bit:
+
+- per-round scheduled canonical-URL sequences (ordered)
+- the final URL-seen set (canonical URLs)
+- extracted text per fetched canonical URL (byte-identical, UTF-8)
+- per-round counters
+
+Round algorithm (THE pin; sparkcrawl/rounds.py mirrors it stage by stage):
+
+  1. candidates = frontier rows with state==QUEUED; stop when none.
+  2. robots gating (obey_robots): hosts with candidates but no robots entry
+     yet get their robots.txt fetched THIS round; their page fetches defer
+     to the next round (reference parks requests until robots resolves —
+     scrapy/downloadermiddlewares/robotstxt.py::RobotsTxtMiddleware).
+  3. robots eval on the canonical url: denied → terminal ROBOTS_DENIED.
+  4. per-host budget: within each host order by (priority DESC, seq ASC),
+     keep first max_per_round; rest stay QUEUED.
+  5. global order (priority DESC, seq ASC), cap at round_size → scheduled.
+  6. fetch = lookup by canonical url in the pages corpus; miss → ERROR.
+  7. extract text + links (pinned kernels); per-link:
+       depth=parent+1 ≤ depth_limit; url length/scheme guards; offsite
+       filter vs allowed_domains; optional nofollow drop;
+       priority = parent_priority - depth*depth_priority;
+       seq = xxh64(str(parent_seq) + '\\x00' + canon) (Spark-parity hash).
+  8. batch dedup: per canonical url keep the min-seq row (order-free rule —
+     a distributed engine has no "first occurrence"); then drop rows whose
+     fingerprint is already in seen; survivors enter frontier QUEUED and
+     their fingerprints enter seen immediately (enqueue-time dedup,
+     scrapy/core/scheduler.py::Scheduler.enqueue_request semantics).
+  Seeds: state QUEUED at round 0, seq = xxh64(canon), dedup-bypass
+  (dont_filter) but fingerprints still recorded; duplicate seed canons keep
+  min seq.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+from sparkcrawl.canon import canonicalize_url, fingerprint, seq_for_link, seq_for_seed, url_host
+from sparkcrawl.config import CrawlConfig
+from sparkcrawl.extract import extract_links, extract_text
+from sparkcrawl.robots import robots_allowed
+
+
+@dataclass
+class FrontierRow:
+    url: str
+    canon: str
+    host: str
+    depth: int
+    priority: int
+    seq: int
+    state: str  # QUEUED / FETCHED / ERROR / ROBOTS_DENIED
+    discovered_round: int
+    parent_url: str | None = None
+
+
+@dataclass
+class OracleResult:
+    rounds: list[list[str]] = field(default_factory=list)  # scheduled canon urls, ordered
+    seen: set[str] = field(default_factory=set)  # canonical urls ever enqueued
+    text: dict[str, str] = field(default_factory=dict)  # canon → extracted text
+    metrics: list[dict] = field(default_factory=list)
+    frontier: dict[str, FrontierRow] = field(default_factory=dict)
+
+
+def load_corpus(corpus_dir: str):
+    pages_t = pq.read_table(os.path.join(corpus_dir, "pages.parquet"))
+    pages = {}
+    for url, html in zip(pages_t["url"].to_pylist(), pages_t["html"].to_pylist()):
+        pages[canonicalize_url(url)] = (url, html)
+    seeds_t = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
+    seeds = list(zip(seeds_t["url"].to_pylist(), seeds_t["priority"].to_pylist()))
+    robots = {}
+    rb = os.path.join(corpus_dir, "robots.parquet")
+    if os.path.exists(rb):
+        rt = pq.read_table(rb)
+        for h, s, b in zip(
+            rt["host"].to_pylist(), rt["status"].to_pylist(), rt["body"].to_pylist()
+        ):
+            robots[h] = (s, b)
+    budget = {}
+    hb = os.path.join(corpus_dir, "host_budget.parquet")
+    if os.path.exists(hb):
+        bt = pq.read_table(hb)
+        for h, m in zip(bt["host"].to_pylist(), bt["max_per_round"].to_pylist()):
+            budget[h] = int(m)
+    return pages, seeds, robots, budget
+
+
+def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
+    pages, seeds, robots_corpus, budget = load_corpus(corpus_dir)
+    res = OracleResult()
+    fps: set[bytes] = set()
+
+    # --- seed the frontier (round 0 state) ---
+    seed_rows: dict[str, FrontierRow] = {}
+    for url, prio in seeds:
+        canon = canonicalize_url(url)
+        seq = seq_for_seed(canon)
+        row = FrontierRow(url, canon, url_host(canon), 0, int(prio), seq, "QUEUED", 0)
+        if canon not in seed_rows or seq < seed_rows[canon].seq:
+            seed_rows[canon] = row
+    for canon, row in seed_rows.items():
+        res.frontier[canon] = row
+        fps.add(fingerprint(row.url))
+        res.seen.add(canon)
+
+    robots_known: dict[str, tuple[int | None, str | None]] = {}
+
+    for rnd in range(cfg.max_rounds):
+        queued = [r for r in res.frontier.values() if r.state == "QUEUED"]
+        if not queued:
+            break
+        m = {
+            "round": rnd, "queued_start": len(queued), "robots_fetched": 0,
+            "robots_deferred": 0, "robots_denied": 0, "budget_deferred": 0,
+            "cap_deferred": 0, "scheduled": 0, "fetched": 0, "fetch_miss": 0,
+            "links_extracted": 0, "depth_dropped": 0, "offsite_dropped": 0,
+            "nofollow_dropped": 0, "dup_in_batch": 0, "dedup_dropped": 0,
+            "enqueued": 0,
+        }
+
+        # stage 2: robots fetch for new hosts; defer their candidates
+        if cfg.obey_robots:
+            known_before = set(robots_known)
+            cand_hosts = {r.host for r in queued}
+            new_hosts = sorted(cand_hosts - known_before)
+            for h in new_hosts:
+                robots_known[h] = robots_corpus.get(h, (None, None))
+            m["robots_fetched"] = len(new_hosts)
+            eligible = [r for r in queued if r.host in known_before]
+            m["robots_deferred"] = len(queued) - len(eligible)
+        else:
+            eligible = queued
+
+        # stage 3: robots eval
+        allowed: list[FrontierRow] = []
+        for r in eligible:
+            st, body = robots_known.get(r.host, (None, None)) if cfg.obey_robots else (None, None)
+            if cfg.obey_robots and not robots_allowed(st, body, r.canon):
+                r.state = "ROBOTS_DENIED"
+                m["robots_denied"] += 1
+            else:
+                allowed.append(r)
+
+        # stage 4: per-host budget
+        by_host: dict[str, list[FrontierRow]] = {}
+        for r in allowed:
+            by_host.setdefault(r.host, []).append(r)
+        budgeted: list[FrontierRow] = []
+        for h, rows in by_host.items():
+            rows.sort(key=lambda r: (-r.priority, r.seq))
+            cap = budget.get(h, cfg.max_per_round_default)
+            budgeted.extend(rows[:cap])
+            m["budget_deferred"] += max(0, len(rows) - cap)
+
+        # stage 5: global order + cap
+        budgeted.sort(key=lambda r: (-r.priority, r.seq))
+        scheduled = budgeted[: cfg.round_size]
+        m["cap_deferred"] = len(budgeted) - len(scheduled)
+        m["scheduled"] = len(scheduled)
+        res.rounds.append([r.canon for r in scheduled])
+
+        # stages 6-7: fetch + extract
+        new_links: list[FrontierRow] = []
+        for r in scheduled:
+            hit = pages.get(r.canon)
+            if hit is None:
+                r.state = "ERROR"
+                m["fetch_miss"] += 1
+                continue
+            page_url, html = hit
+            r.state = "FETCHED"
+            m["fetched"] += 1
+            res.text[r.canon] = extract_text(html)
+            links = extract_links(html, page_url)
+            m["links_extracted"] += len(links)
+            for lk in links:
+                if cfg.respect_nofollow and lk.nofollow:
+                    m["nofollow_dropped"] += 1
+                    continue
+                depth = r.depth + 1
+                if depth > cfg.depth_limit:
+                    m["depth_dropped"] += 1
+                    continue
+                if len(lk.url) > cfg.url_length_limit or not lk.url.startswith(
+                    ("http://", "https://")
+                ):
+                    continue
+                canon = canonicalize_url(lk.url)
+                host = url_host(canon)
+                if not cfg.host_allowed(host):
+                    m["offsite_dropped"] += 1
+                    continue
+                new_links.append(
+                    FrontierRow(
+                        lk.url, canon, host, depth,
+                        r.priority - depth * cfg.depth_priority,
+                        seq_for_link(r.seq, canon), "QUEUED", rnd, r.url,
+                    )
+                )
+
+        # stage 8: batch dedup (min-seq per canon) then seen anti-join
+        best: dict[str, FrontierRow] = {}
+        for row in new_links:
+            cur = best.get(row.canon)
+            if cur is None or row.seq < cur.seq:
+                best[row.canon] = row
+        m["dup_in_batch"] = len(new_links) - len(best)
+        for canon, row in best.items():
+            if fingerprint(row.url) in fps:
+                m["dedup_dropped"] += 1
+                continue
+            fps.add(fingerprint(row.url))
+            res.seen.add(canon)
+            res.frontier[canon] = row
+            m["enqueued"] += 1
+
+        res.metrics.append(m)
+
+    return res

@@ -1,0 +1,202 @@
+"""Deterministic synthetic web corpus generator (FIXTURES.md §1).
+
+Pure function of ``(seed, n_hosts, pages_per_host)`` — no clock, no network,
+no external data. Produces the four input tables of the crawl pipeline as
+parquet (written with pyarrow so the oracle can run Spark-free):
+
+- ``pages``       (url, warc_ts, html:binary, text, lang) — exact
+                  BASELINE.json:15 shape; ``text`` is the pinned extractor's
+                  expected output for ``html`` (self-check column)
+- ``seeds``       (url, priority)
+- ``robots``      (host, fetched_ts, status, body)
+- ``host_budget`` (host, max_per_round, crawl_delay)
+
+Graph shape per FIXTURES.md §1.5: intra-host chains (drives depth), ~10%
+cross-host edges with ~30% of them aimed at one hot host (skew), ~5%
+duplicate edges varying only in query-param order or fragment
+(canonicalization dedup), ~1% rel=nofollow, ~1% dead links (fetch-miss),
+plus a /private/ subtree that robots rules deny on ~20% of hosts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from sparkcrawl.canon import xxh64_str
+from sparkcrawl.extract import extract_text
+
+EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu data spark crawl frontier queue robot parse fetch"
+).split()
+_WORDS_L1 = "café touché naïve résumé crème déjà".split()
+_LANGS = ["en", "de", "fr"]
+
+
+def host_name(i: int) -> str:
+    return f"h{i}.example"
+
+
+def _page_path(j: int) -> str:
+    if j % 9 == 7:
+        return f"/private/p{j}.html"
+    if j % 5 == 3:
+        return f"/art.php?id={j}&ref=home"
+    return f"/p{j}.html"
+
+
+def page_url(i: int, j: int) -> str:
+    return f"http://{host_name(i)}{_page_path(j)}"
+
+
+def _swapped_variant(url: str) -> str:
+    """Duplicate-edge variant: swap query params, or append a fragment."""
+    if "?" in url and "&" in url:
+        base, q = url.split("?", 1)
+        parts = q.split("&")
+        return base + "?" + "&".join(reversed(parts))
+    return url + "#sec"
+
+
+def generate(
+    out_dir: str,
+    seed: int = 42,
+    n_hosts: int = 5,
+    pages_per_host: int = 20,
+    n_seeds: int = 3,
+    max_per_round: int = 8,
+) -> dict:
+    """Write the corpus tables under ``out_dir``; returns summary counts."""
+    os.makedirs(out_dir, exist_ok=True)
+    hot = 0  # host 0 is the hot host (skew target)
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for i in range(n_hosts):
+        for j in range(pages_per_host):
+            rng = random.Random(seed * 1_000_003 + i * 7919 + j)
+            url = page_url(i, j)
+            # --- outgoing links (document order matters) ---
+            links: list[tuple[str, bool]] = []  # (href, nofollow)
+            if j + 1 < pages_per_host:
+                links.append((_page_path(j + 1), False))  # relative chain link
+            for _ in range(rng.randint(2, 4)):  # random intra-host
+                links.append((_page_path(rng.randrange(pages_per_host)), False))
+            if rng.random() < 0.10:  # cross-host (absolute)
+                ti = hot if rng.random() < 0.30 else rng.randrange(n_hosts)
+                links.append((page_url(ti, rng.randrange(pages_per_host)), False))
+            if rng.random() < 0.05 and links:  # canonical-duplicate variant
+                href, _nf = rng.choice(links)
+                absu = href if href.startswith("http") else f"http://{host_name(i)}{href}"
+                links.append((_swapped_variant(absu), False))
+            if rng.random() < 0.01:
+                links.append((_page_path(rng.randrange(pages_per_host)), True))
+            if rng.random() < 0.01:
+                links.append((f"/dead{j}-{rng.randrange(10)}.html", False))
+
+            latin1 = (i + j) % 17 == 0
+            words = _WORDS + (_WORDS_L1 if latin1 else [])
+            paras = "".join(
+                "<p>" + " ".join(rng.choice(words) for _ in range(rng.randint(5, 15))) + "</p>"
+                for _ in range(rng.randint(2, 5))
+            )
+            nf_attr = ' rel="nofollow"'
+            anchors = "".join(
+                '<a href="{}"{}>'.format(href, nf_attr if nf else "")
+                + " ".join(rng.choice(words) for _ in range(rng.randint(1, 3)))
+                + "</a> "
+                for href, nf in links
+            )
+            charset = "latin-1" if latin1 else "utf-8"
+            doc = (
+                f'<html><head><title>page {i}-{j}</title><meta charset="{charset}">'
+                f"<style>.x{{color:red}}</style></head><body>{paras}"
+                f"<script>var v={j};</script>{anchors}</body></html>"
+            )
+            html = doc.encode("latin-1" if latin1 else "utf-8", errors="replace")
+            urls.append(url)
+            tss.append(EPOCH + dt.timedelta(seconds=xxh64_str(url) % 86400))
+            htmls.append(html)
+            texts.append(extract_text(html))
+            langs.append(_LANGS[xxh64_str(url) % 3])
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+
+    seeds = pa.table(
+        {
+            "url": pa.array([page_url(i, 0) for i in range(min(n_seeds, n_hosts))]),
+            "priority": pa.array([0] * min(n_seeds, n_hosts), pa.int32()),
+        }
+    )
+    pq.write_table(seeds, os.path.join(out_dir, "seeds.parquet"))
+
+    r_hosts, r_status, r_body = [], [], []
+    for i in range(n_hosts):
+        rng = random.Random(seed * 31 + i)
+        x = rng.random()
+        if x < 0.05:
+            continue  # absent robots.txt (allow-all via status=None path)
+        r_hosts.append(host_name(i))
+        if x < 0.10:
+            r_status.append(200)
+            r_body.append("User-agent: *\nDisallow: /\n")  # deny-all host
+        elif x < 0.30:
+            r_status.append(200)
+            r_body.append("User-agent: *\nDisallow: /private/\n")
+        else:
+            r_status.append(200)
+            r_body.append("")
+    robots = pa.table(
+        {
+            "host": pa.array(r_hosts, pa.string()),
+            "fetched_ts": pa.array([EPOCH] * len(r_hosts), pa.timestamp("us", tz="UTC")),
+            "status": pa.array(r_status, pa.int32()),
+            "body": pa.array(r_body, pa.string()),
+        }
+    )
+    pq.write_table(robots, os.path.join(out_dir, "robots.parquet"))
+
+    budget = pa.table(
+        {
+            "host": pa.array([host_name(i) for i in range(n_hosts)], pa.string()),
+            "max_per_round": pa.array([max_per_round] * n_hosts, pa.int32()),
+            "crawl_delay": pa.array([0.0] * n_hosts, pa.float64()),
+        }
+    )
+    pq.write_table(budget, os.path.join(out_dir, "host_budget.parquet"))
+
+    return {
+        "pages": len(urls),
+        "hosts": n_hosts,
+        "seeds": min(n_seeds, n_hosts),
+        "robots_rows": len(r_hosts),
+    }
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--hosts", type=int, default=5)
+    ap.add_argument("--pages-per-host", type=int, default=20)
+    ap.add_argument("--seeds", type=int, default=3)
+    args = ap.parse_args()
+    print(generate(args.out_dir, args.seed, args.hosts, args.pages_per_host, args.seeds))
