@@ -1,0 +1,118 @@
+"""Crawl driver loop: init/resume → round jobs → stop (SURVEY.md §3.4).
+
+Ships via ``spark-submit --py-files sparkcrawl.zip sparkcrawl/crawl.py`` —
+pure Python, no JVM extensions (BASELINE.json:14). Resume is deterministic
+from any committed round boundary: state lives entirely in SnapStore
+snapshots; an interrupted round leaves only uncommitted (unreferenced)
+files, and the next run re-executes that round from the previous manifest —
+bit-identical because every operator is deterministic (content-derived
+``seq``, no clock, no rand).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from sparkcrawl.config import CrawlConfig
+from sparkcrawl.rounds import init_crawl, one_round, prepare_pages
+from sparkcrawl.snapstore import SnapStore
+
+
+def run_crawl(
+    spark: SparkSession,
+    corpus_dir: str,
+    store_dir: str,
+    cfg: CrawlConfig = CrawlConfig(),
+    resume: bool = False,
+    verbose: bool = False,
+) -> list[dict]:
+    """Run (or resume) a crawl; returns the per-round summary list."""
+    store = SnapStore(store_dir)
+
+    if not resume and store.committed_rounds():
+        raise ValueError(
+            f"store {store_dir!r} already has committed rounds; pass resume=True "
+            "or use a fresh store (seen is append-only — re-init would corrupt it)"
+        )
+    if not resume or not store.committed_rounds():
+        prepare_pages(spark, store, os.path.join(corpus_dir, "pages.parquet"))
+        robots_path = os.path.join(corpus_dir, "robots.parquet")
+        if os.path.exists(robots_path):
+            store.overwrite("robots_corpus", spark.read.parquet(robots_path))
+        else:
+            store.overwrite(
+                "robots_corpus",
+                spark.createDataFrame([], "host string, status int, body string"),
+            )
+        init_crawl(spark, store, os.path.join(corpus_dir, "seeds.parquet"), cfg)
+        start_round = 0
+    else:
+        start_round = max(store.committed_rounds()) + 1
+
+    budget_path = os.path.join(corpus_dir, "host_budget.parquet")
+    host_budget = (
+        spark.read.parquet(budget_path) if os.path.exists(budget_path) else None
+    )
+
+    summaries: list[dict] = []
+    for rnd in range(start_round, cfg.max_rounds):
+        if store.read(spark, "frontier").isEmpty():
+            break
+        t0 = time.monotonic()
+        s = one_round(spark, store, cfg, rnd, host_budget)
+        s["wall_ms"] = int((time.monotonic() - t0) * 1000)
+        summaries.append(s)
+        if verbose:
+            print(
+                f"round {rnd}: scheduled={s.get('scheduled', 0)} "
+                f"fetched={s.get('fetched', 0)} enqueued={s.get('enqueued', 0)} "
+                f"queued_end={s['queued_end']} wall_ms={s['wall_ms']}"
+            )
+        if s["queued_end"] == 0:
+            break
+    return summaries
+
+
+def main() -> None:
+    import argparse
+
+    from sparkcrawl.session import get_spark
+
+    ap = argparse.ArgumentParser(description="sparkcrawl driver loop")
+    ap.add_argument("corpus_dir")
+    ap.add_argument("store_dir")
+    ap.add_argument("--round-size", type=int, default=1000)
+    ap.add_argument("--max-rounds", type=int, default=50)
+    ap.add_argument("--depth-limit", type=int, default=6)
+    ap.add_argument("--no-robots", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    cfg = CrawlConfig(
+        round_size=args.round_size,
+        max_rounds=args.max_rounds,
+        depth_limit=args.depth_limit,
+        obey_robots=not args.no_robots,
+    )
+    spark = get_spark(cores=args.cores, app="sparkcrawl")
+    try:
+        summaries = run_crawl(
+            spark, args.corpus_dir, args.store_dir, cfg, resume=args.resume,
+            verbose=True,
+        )
+        total_sched = sum(s.get("scheduled", 0) for s in summaries)
+        total_ms = sum(s["wall_ms"] for s in summaries) or 1
+        print(
+            f"done: rounds={len(summaries)} scheduled={total_sched} "
+            f"throughput={total_sched / (total_ms / 1000):.1f} urls/s"
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

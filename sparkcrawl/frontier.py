@@ -1,0 +1,175 @@
+"""Frontier schemas + relational crawl operators (SURVEY.md §2.3–§2.4).
+
+All operators here are pure DataFrame transformations — no actions, no
+collect. The frontier table holds QUEUED rows only (the live priority
+queue); terminal states stream to the append-only ``frontier_log``. At the
+10^10-URL design point this keeps per-round IO proportional to the live
+queue + new links, never to all URLs ever seen.
+
+Replaces (reference): scheduler priority queues (scrapy/pqueues.py::
+ScrapyPriorityQueue), per-host Downloader slots (scrapy/core/downloader/
+__init__.py::Downloader), RFPDupeFilter (scrapy/dupefilters.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkcrawl.config import CrawlConfig
+from sparkcrawl.udfs import canonicalize_udf, host_udf
+
+N_BUCKETS = 32   # url_hash bucket count for seen/pages layout (pin per deploy)
+SALT_N = 16      # salt fan-out for the hot-host budget window (P5)
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("canon", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("discovered_round", T.IntegerType()),
+        T.StructField("parent_url", T.StringType()),
+    ]
+)
+
+FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+
+def with_bucket(df: DataFrame, col: str = "url_hash") -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.col(col), F.lit(N_BUCKETS)).cast("int"))
+
+
+def canonicalized(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """url → canon, url_hash, host (one UDF projection; everything else native)."""
+    return (
+        df.withColumn("canon", canonicalize_udf(F.col(url_col)))
+        .withColumn("url_hash", F.xxhash64(F.col("canon")))
+        .withColumn("host", host_udf(F.col("canon")))
+    )
+
+
+def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
+    """Seed rows → frontier schema (depth 0, seq = xxhash64(canon), dedup by
+    canon keeping min seq — FIXTURES.md §4; seeds are dont_filter)."""
+    df = (
+        canonicalized(seeds)
+        .withColumn("depth", F.lit(0).cast("int"))
+        .withColumn("priority", F.col("priority").cast("int"))
+        .withColumn("seq", F.xxhash64(F.col("canon")))
+        .withColumn("discovered_round", F.lit(0).cast("int"))
+        .withColumn("parent_url", F.lit(None).cast("string"))
+    )
+    w = Window.partitionBy("canon").orderBy("seq")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*FRONTIER_COLS)
+    )
+
+
+def per_host_budget_rank(allowed: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Two-phase salted per-host top-k (P3+P5): phase 1 ranks within
+    (host, salt) so one hot host fans across SALT_N tasks and is capped to
+    SALT_N×cap rows before the exact per-host rank in phase 2. Adds
+    ``host_rank`` (null ⇒ already beyond cap in phase 1, hence beyond cap
+    for the host). ``cap`` column must exist (host budget, defaulted)."""
+    order = [F.col("priority").desc(), F.col("seq").asc()]
+    salted = allowed.withColumn(
+        "_salt", F.pmod(F.col("url_hash"), F.lit(SALT_N)).cast("int")
+    )
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    phase1 = salted.withColumn("_rn1", F.row_number().over(w1))
+    survivors = phase1.filter(F.col("_rn1") <= F.col("cap"))
+    cut = phase1.filter(F.col("_rn1") > F.col("cap")).withColumn(
+        "host_rank", F.lit(None).cast("int")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked = survivors.withColumn("host_rank", F.row_number().over(w2))
+    return ranked.unionByName(cut).drop("_salt", "_rn1")
+
+
+def links_to_candidates(fetched: DataFrame, cfg: CrawlConfig, round_n: int) -> DataFrame:
+    """Exploded links of fetched pages → frontier-schema candidate rows with
+    a ``drop_reason`` column (null = viable). One UDF projection (canon/host),
+    all filters native (F1–F4, SURVEY.md §2.2)."""
+    lk = (
+        fetched.select(
+            F.col("url").alias("parent_url"),
+            F.col("priority").alias("parent_priority"),
+            F.col("seq").alias("parent_seq"),
+            F.col("depth").alias("parent_depth"),
+            F.explode_outer("links").alias("link"),
+        )
+        .filter(F.col("link").isNotNull())
+        .select(
+            "parent_url", "parent_priority", "parent_seq", "parent_depth",
+            F.col("link.url").alias("url"),
+            F.col("link.nofollow").alias("nofollow"),
+        )
+    )
+    lk = canonicalized(lk)
+    depth = F.col("parent_depth") + F.lit(1)
+    if cfg.allowed_domains is None:
+        host_ok = F.lit(True)
+    else:
+        conds = [
+            (F.col("host") == d) | F.col("host").endswith("." + d)
+            for d in cfg.allowed_domains
+        ]
+        host_ok = conds[0]
+        for c in conds[1:]:
+            host_ok = host_ok | c
+    drop = (
+        F.when(F.col("nofollow") & F.lit(cfg.respect_nofollow), "NOFOLLOW")
+        .when(depth > cfg.depth_limit, "DEPTH")
+        .when(
+            (F.length("url") > cfg.url_length_limit)
+            | ~F.col("url").rlike("^https?://"),
+            "URL_GUARD",
+        )
+        .when(~host_ok, "OFFSITE")
+        .otherwise(F.lit(None))
+    )
+    return (
+        lk.withColumn("drop_reason", drop)
+        .withColumn("depth", depth.cast("int"))
+        .withColumn(
+            "priority",
+            (F.col("parent_priority") - depth * F.lit(cfg.depth_priority)).cast("int"),
+        )
+        .withColumn(
+            "seq",
+            F.xxhash64(
+                F.concat_ws("\x00", F.col("parent_seq").cast("string"), F.col("canon"))
+            ),
+        )
+        .withColumn("discovered_round", F.lit(round_n).cast("int"))
+    )
+
+
+def dedup_batch(cands: DataFrame) -> DataFrame:
+    """Within-batch dedup: per canonical url keep the min-seq row (order-free
+    deterministic rule, D2/O4). Exact — partitions by the canonical string,
+    not its 64-bit hash, so hash collisions cannot merge distinct urls."""
+    w = Window.partitionBy("canon").orderBy("seq")
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_in_batch", F.col("_rn") > 1)
+        .drop("_rn")
+    )
+
+
+def anti_join_seen(cands: DataFrame, seen: DataFrame) -> DataFrame:
+    """Exact dedup vs the seen set: anti-join on (bucket, url_hash, canon).
+    url_hash drives the shuffle/bucketing; canon equality kills 64-bit hash
+    collisions (exact set semantics, D2); the ``bucket`` partition column
+    enables partition pruning of the seen table at scale."""
+    seen_keys = seen.select("bucket", "url_hash", "canon")
+    return with_bucket(cands).join(
+        seen_keys, on=["bucket", "url_hash", "canon"], how="left_anti"
+    )

@@ -1,0 +1,176 @@
+"""Iceberg-emulating snapshot table layer (SURVEY.md §0.1, §4.2).
+
+No Iceberg runtime jar is available offline, so this module provides
+Iceberg-*shaped* table semantics over plain Parquet + JSON manifests:
+
+- immutable data files; a snapshot = JSON manifest listing live data dirs
+- append / overwrite commit modes; atomic commit via ``os.rename`` of the
+  manifest (POSIX rename atomicity — same protocol as Iceberg's
+  metadata-pointer swap against a filesystem catalog)
+- time travel: ``read(table, snapshot_id=...)``
+- round-level multi-table commits: ``commit_round`` writes a round manifest
+  mapping table → snapshot id, which is the resume point
+  (BASELINE.json:6 "resumes deterministically from any round boundary")
+
+Layout:
+    root/<table>/data/<snap>-<uuid>/part-*.parquet
+    root/<table>/snapshots/snapshot-%08d.json
+    root/rounds/round-%06d.json
+
+Replaces the reference's JOBDIR persistence (scrapy/core/scheduler.py::
+Scheduler.open/close + dupefilters.py seen-file). Designed behind a thin
+interface so a real Iceberg catalog can be dropped in (same verbs:
+append/overwrite/read/time-travel).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "rounds"), exist_ok=True)
+
+    # ----- paths -----
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _snapdir(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "snapshots")
+
+    def _manifest_path(self, table: str, snap_id: int) -> str:
+        return os.path.join(self._snapdir(table), "snapshot-%08d.json" % snap_id)
+
+    # ----- snapshot bookkeeping -----
+    def snapshots(self, table: str) -> list[int]:
+        d = self._snapdir(table)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            if f.startswith("snapshot-") and f.endswith(".json"):
+                out.append(int(f[len("snapshot-") : -len(".json")]))
+        return sorted(out)
+
+    def latest(self, table: str) -> int | None:
+        s = self.snapshots(table)
+        return s[-1] if s else None
+
+    def _load_manifest(self, table: str, snap_id: int) -> dict:
+        with open(self._manifest_path(table, snap_id)) as f:
+            return json.load(f)
+
+    # ----- commit -----
+    def _write_data(self, table: str, df: DataFrame, snap_id: int,
+                    partition_by: list[str] | None) -> str:
+        rel = os.path.join("data", "%08d-%s" % (snap_id, uuid.uuid4().hex[:8]))
+        path = os.path.join(self._tdir(table), rel)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        return rel
+
+    def _commit(self, table: str, df: DataFrame, mode: str,
+                partition_by: list[str] | None = None, meta: dict | None = None) -> int:
+        os.makedirs(self._snapdir(table), exist_ok=True)
+        parent = self.latest(table)
+        snap_id = (parent + 1) if parent is not None else 1
+        rel = self._write_data(table, df, snap_id, partition_by)
+        files = [rel]
+        if mode == "append" and parent is not None:
+            files = self._load_manifest(table, parent)["files"] + files
+        manifest = {
+            "id": snap_id,
+            "parent": parent,
+            "mode": mode,
+            "files": files,
+            "partition_by": partition_by or [],
+            "schema": json.loads(df.schema.json()),
+            "meta": meta or {},
+        }
+        tmp = self._manifest_path(table, snap_id) + ".tmp-" + uuid.uuid4().hex[:8]
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._manifest_path(table, snap_id))  # atomic commit point
+        return snap_id
+
+    def append(self, table: str, df: DataFrame, partition_by=None, meta=None) -> int:
+        return self._commit(table, df, "append", partition_by, meta)
+
+    def overwrite(self, table: str, df: DataFrame, partition_by=None, meta=None) -> int:
+        return self._commit(table, df, "overwrite", partition_by, meta)
+
+    # ----- read -----
+    def read(self, spark: SparkSession, table: str,
+             snapshot_id: int | None = None) -> DataFrame:
+        snap_id = self.latest(table) if snapshot_id is None else snapshot_id
+        if snap_id is None:
+            raise FileNotFoundError(f"no snapshot for table {table!r}")
+        man = self._load_manifest(table, snap_id)
+        paths = [os.path.join(self._tdir(table), rel) for rel in man["files"]]
+        # a snapshot of an empty DataFrame has a data dir with no parquet
+        # files — drop those and fall back to the manifest schema
+        live = [
+            p for p in paths
+            if glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+        ]
+        if not live:
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(man["schema"])
+            for col in man["partition_by"]:
+                if col not in schema.fieldNames():
+                    schema = schema.add(col, T.IntegerType())
+            return spark.createDataFrame([], schema=schema)
+        if not man["partition_by"] or len(live) == 1:
+            return spark.read.parquet(*live)
+        # multiple hive-partitioned roots: Spark's partition discovery wants
+        # one root per read — scan each snapshot dir and union (same shape a
+        # real Iceberg table scan produces: a union of manifests' file scans;
+        # partition pruning still applies per scan)
+        dfs = [spark.read.parquet(p) for p in live]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def exists(self, table: str) -> bool:
+        return self.latest(table) is not None
+
+    # ----- round-level multi-table commit (the resume point) -----
+    def commit_round(self, round_n: int, table_snaps: dict[str, int],
+                     meta: dict | None = None) -> None:
+        doc = {"round": round_n, "tables": table_snaps, "meta": meta or {}}
+        path = os.path.join(self.root, "rounds", "round-%06d.json" % round_n)
+        tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
+    def committed_rounds(self) -> list[int]:
+        d = os.path.join(self.root, "rounds")
+        return sorted(
+            int(f[len("round-") : -len(".json")])
+            for f in os.listdir(d)
+            if f.startswith("round-") and f.endswith(".json")
+        )
+
+    def round_manifest(self, round_n: int) -> dict:
+        with open(os.path.join(self.root, "rounds", "round-%06d.json" % round_n)) as f:
+            return json.load(f)
+
+    def read_at_round(self, spark: SparkSession, table: str, round_n: int) -> DataFrame:
+        """Time-travel read: table as of a committed round boundary."""
+        return self.read(spark, table, self.round_manifest(round_n)["tables"][table])

@@ -1,0 +1,147 @@
+"""Spark pipeline ≡ oracle equivalence — the core correctness gate
+(SURVEY.md §5.2.3, BASELINE.json:14-15):
+
+- per-round scheduled canonical-URL sequences, exactly ordered
+- final URL-seen set equality
+- byte-identical extracted text per url
+- per-round counters match the oracle's
+- resume from a round boundary ≡ uninterrupted run
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle.crawler import crawl as oracle_crawl
+from sparkcrawl.config import CrawlConfig
+from sparkcrawl.crawl import run_crawl
+from sparkcrawl.snapstore import SnapStore
+from sparkcrawl.synth import generate
+
+CFG = CrawlConfig(round_size=50)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    generate(d, seed=42, n_hosts=5, pages_per_host=20, n_seeds=3)
+    return d
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, corpus, tmp_path_factory):
+    store_dir = str(tmp_path_factory.mktemp("store"))
+    summaries = run_crawl(spark, corpus, store_dir, CFG)
+    return SnapStore(store_dir), summaries
+
+
+@pytest.fixture(scope="module")
+def golden(corpus):
+    return oracle_crawl(corpus, CFG)
+
+
+def spark_rounds(spark, store):
+    rows = (
+        store.read(spark, "schedule")
+        .orderBy("round", F.desc("priority"), "seq")
+        .select("round", "canon")
+        .collect()
+    )
+    out: dict[int, list[str]] = {}
+    for r in rows:
+        out.setdefault(r["round"], []).append(r["canon"])
+    return out
+
+
+def test_crawl_ordering_exact(spark, crawled, golden):
+    store, _ = crawled
+    got = spark_rounds(spark, store)
+    for i, g in enumerate(golden.rounds):
+        assert got.get(i, []) == g, f"round {i}"
+    assert set(got) <= set(range(len(golden.rounds)))
+
+
+def test_seen_set_exact(spark, crawled, golden):
+    store, _ = crawled
+    seen = {r["canon"] for r in store.read(spark, "seen").select("canon").collect()}
+    assert seen == golden.seen
+
+
+def test_text_byte_identical(spark, crawled, golden):
+    store, _ = crawled
+    txt = {
+        r["canon"]: r["text"]
+        for r in store.read(spark, "extracted").select("canon", "text").collect()
+    }
+    assert set(txt) == set(golden.text)
+    for canon, want in golden.text.items():
+        assert txt[canon].encode("utf-8") == want.encode("utf-8"), canon
+
+
+def test_metrics_match_oracle(spark, crawled, golden):
+    store, _ = crawled
+    rows = (
+        store.read(spark, "metrics")
+        .groupBy("round", "key")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    got: dict[int, dict[str, int]] = {}
+    for r in rows:
+        got.setdefault(r["round"], {})[r["key"]] = r["n"]
+    for m in golden.metrics:
+        rnd = m["round"]
+        for key in (
+            "queued_start", "robots_fetched", "robots_deferred", "robots_denied",
+            "budget_deferred", "cap_deferred", "scheduled", "fetched",
+            "fetch_miss", "links_extracted", "nofollow_dropped", "depth_dropped",
+            "offsite_dropped", "dup_in_batch", "dedup_dropped", "enqueued",
+        ):
+            assert got.get(rnd, {}).get(key, 0) == m[key], (rnd, key)
+
+
+def test_frontier_log_states(spark, crawled, golden):
+    store, _ = crawled
+    log = store.read(spark, "frontier_log").groupBy("state").count().collect()
+    got = {r["state"]: r["count"] for r in log}
+    want: dict[str, int] = {}
+    for row in golden.frontier.values():
+        if row.state != "QUEUED":
+            want[row.state] = want.get(row.state, 0) + 1
+    assert got == want
+
+
+def test_resume_equals_uninterrupted(spark, corpus, crawled, golden, tmp_path_factory):
+    store_b_dir = str(tmp_path_factory.mktemp("store_resume"))
+    # phase 1: stop after 3 rounds (simulated interruption at a boundary)
+    run_crawl(spark, corpus, store_b_dir, CrawlConfig(round_size=50, max_rounds=3))
+    # phase 2: resume to completion
+    run_crawl(spark, corpus, store_b_dir, CFG, resume=True)
+    store_b = SnapStore(store_b_dir)
+    got = spark_rounds(spark, store_b)
+    for i, g in enumerate(golden.rounds):
+        assert got.get(i, []) == g, f"round {i} after resume"
+    seen = {r["canon"] for r in store_b.read(spark, "seen").select("canon").collect()}
+    assert seen == golden.seen
+
+
+def test_time_travel_reads(spark, crawled):
+    store, summaries = crawled
+    fr0 = store.read_at_round(spark, "frontier", -1)
+    assert fr0.count() == 3  # the seeds
+    # seen grows monotonically across round boundaries
+    prev = 0
+    for rnd in store.committed_rounds():
+        n = store.read_at_round(spark, "seen", rnd).count()
+        assert n >= prev
+        prev = n
+
+
+def test_no_robots_variant(spark, corpus, golden, tmp_path_factory):
+    cfg = CrawlConfig(round_size=50, obey_robots=False)
+    store_dir = str(tmp_path_factory.mktemp("store_nr"))
+    run_crawl(spark, corpus, store_dir, cfg)
+    o = oracle_crawl(corpus, cfg)
+    got = spark_rounds(spark, SnapStore(store_dir))
+    for i, g in enumerate(o.rounds):
+        assert got.get(i, []) == g, f"round {i}"
+    assert len(o.rounds[0]) == 3  # no robots deferral → seeds go in round 0
