@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship crawl — a deterministic synthetic Common-Crawl-
+  style corpus (BASELINE.json:15 mandates the pages shape; the driver's
+  relational testdata has no pages table, and the round-1 instruction says to
+  synthesise that shape deterministically at small scale) is crawled for a
+  few rounds by the full pipeline (robots gating, per-host budget, priority
+  order, bloom+anti-join dedup, UDF extraction); returns the ordered
+  schedule: one row per (round, url) the crawler fetched, plus dedup stats.
+- ``queries()`` / ``oracle_sql()``: one entry per operator family from
+  SURVEY.md §2 + training-data ops (dedup/minhash/simhash/jaccard, ANN
+  similarity search, langid/quality/token/fingerprint text analysis) over
+  /root/testdata tables, each DuckDB-checked except ``approx_users`` (HLL —
+  rows-only by design).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end crawl of a deterministic synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.config import CrawlConfig
+    from sparkcrawl.crawl import run_crawl, schedule_view
+    from sparkcrawl.snapstore import SnapStore
+    from sparkcrawl.synth import generate
+
+    base = tempfile.mkdtemp(prefix="sparkcrawl_entry_")
+    corpus = os.path.join(base, "corpus")
+    store = os.path.join(base, "store")
+    generate(corpus, seed=42, n_hosts=4, pages_per_host=10, n_seeds=2)
+    cfg = CrawlConfig(round_size=32, max_rounds=6)
+    run_crawl(spark, corpus, store, cfg)
+    return (
+        schedule_view(spark, SnapStore(store))
+        .orderBy("round", F.desc("priority"), "seq")
+        .select("round", "canon", "host", "depth", "priority", "seq")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sparkcrawl.queries import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sparkcrawl.queries import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

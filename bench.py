@@ -1,0 +1,117 @@
+"""Bench harness (driver contract): headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
+flagship crawl over a deterministic synthetic corpus. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {"urls_scheduled": N, "urls_per_sec": R, ...}}
+
+Crawl throughput is computed from the pipeline's own metrics (scheduled /
+wall_ms per round) per BASELINE.md — Spark startup and corpus generation are
+excluded. Scaling evidence (local[8] vs local[32]) lives in BENCH/scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+HEADLINE = [
+    "tpch_q1", "tpch_q3", "tpch_q5", "perhost_topk", "sessionize",
+    "window_hourly", "dedup_exact", "minhash_lsh_pairs", "simhash",
+    "ngram_jaccard", "ann_bruteforce", "embed_norms", "seen_antijoin",
+]
+
+BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "80"))
+BENCH_PPH = int(os.environ.get("SPARKCRAWL_BENCH_PPH", "150"))
+
+
+def bench_corpus() -> str:
+    """Deterministic bench corpus, cached across runs (pure fn of params)."""
+    from sparkcrawl.synth import generate
+
+    d = f"/tmp/sparkcrawl_bench_corpus_v1_{BENCH_HOSTS}x{BENCH_PPH}"
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        generate(d, seed=42, n_hosts=BENCH_HOSTS, pages_per_host=BENCH_PPH,
+                 n_seeds=8)
+        open(marker, "w").write("ok")
+    return d
+
+
+def run_crawl_bench(spark) -> dict:
+    import shutil
+    import tempfile
+
+    from sparkcrawl.config import CrawlConfig
+    from sparkcrawl.crawl import run_crawl
+
+    corpus = bench_corpus()
+    store = tempfile.mkdtemp(prefix="sparkcrawl_bench_store_")
+    cfg = CrawlConfig(round_size=4000, max_rounds=12, depth_limit=12)
+    try:
+        summaries = run_crawl(spark, corpus, store, cfg)
+        scheduled = sum(s.get("scheduled", 0) for s in summaries)
+        enqueued = sum(s.get("enqueued", 0) for s in summaries)
+        deduped = sum(s.get("dedup_dropped", 0) for s in summaries)
+        wall_ms = sum(s["wall_ms"] for s in summaries) or 1
+        return {
+            "rounds": len(summaries),
+            "urls_scheduled": int(scheduled),
+            "urls_enqueued": int(enqueued),
+            "urls_dedup_dropped": int(deduped),
+            "wall_sec": round(wall_ms / 1000.0, 3),
+            "urls_per_sec": round((scheduled + deduped) / (wall_ms / 1000.0), 1),
+        }
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from sparkcrawl.queries import queries
+    from sparkcrawl.session import get_spark
+
+    spark = get_spark(cores=cpus, app="sparkcrawl-bench")
+    q = queries()
+    timings: dict[str, float] = {}
+    try:
+        # warm the JVM/Arrow paths once (excluded from timings)
+        q["depth_histogram"](spark, sf_dir).collect()
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            df = q[name](spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.monotonic() - t0, 3)
+            assert n >= 0
+        crawl = run_crawl_bench(spark)
+    finally:
+        spark.stop()
+
+    total = round(sum(timings.values()) + crawl["wall_sec"], 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_plus_crawl",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl": crawl,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

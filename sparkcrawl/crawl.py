@@ -21,6 +21,21 @@ from sparkcrawl.rounds import init_crawl, one_round, prepare_pages
 from sparkcrawl.snapstore import SnapStore
 
 
+def schedule_view(spark: SparkSession, store: SnapStore):
+    """The golden per-round schedule, reconstructed from frontier_log:
+    scheduled rows are exactly those with a terminal fetch state, ordered
+    within a round by (priority DESC, seq ASC)."""
+    from pyspark.sql import functions as F
+
+    return (
+        store.read(spark, "frontier_log")
+        .filter(F.col("state").isin("FETCHED", "ERROR"))
+        .select(
+            "round", "url", "canon", "url_hash", "host", "depth", "priority", "seq"
+        )
+    )
+
+
 def run_crawl(
     spark: SparkSession,
     corpus_dir: str,
@@ -58,9 +73,12 @@ def run_crawl(
     )
 
     summaries: list[dict] = []
+    first = True
     for rnd in range(start_round, cfg.max_rounds):
-        if store.read(spark, "frontier").isEmpty():
-            break
+        if first:  # resume guard; later rounds know queued_end arithmetically
+            if store.read(spark, "frontier").isEmpty():
+                break
+            first = False
         t0 = time.monotonic()
         s = one_round(spark, store, cfg, rnd, host_budget)
         s["wall_ms"] = int((time.monotonic() - t0) * 1000)

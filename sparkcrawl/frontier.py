@@ -72,25 +72,44 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     )
 
 
-def per_host_budget_rank(allowed: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """Two-phase salted per-host top-k (P3+P5): phase 1 ranks within
-    (host, salt) so one hot host fans across SALT_N tasks and is capped to
-    SALT_N×cap rows before the exact per-host rank in phase 2. Adds
-    ``host_rank`` (null ⇒ already beyond cap in phase 1, hence beyond cap
-    for the host). ``cap`` column must exist (host budget, defaulted)."""
+def label_candidates(cand: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Single-pass robots + budget labeling → ``verdict`` column.
+
+    Per-host top-k is a two-phase salted window (P3+P5): phase 1 ranks
+    within (host, salt) so one hot host fans across SALT_N tasks and is
+    capped to SALT_N×cap rows before the exact per-host rank in phase 2.
+    Both windows run over ALL candidate rows with no branch/union (so the
+    robots-UDF lineage is computed exactly once): ordering by the eligibility
+    flag DESC first means eligible rows sort ahead of ineligible ones, so a
+    row_number over the whole partition equals the rank among eligible rows
+    for every eligible row — ineligible rows' ranks are simply unused.
+
+    Requires columns: ``allowed`` (bool, null ⇒ robots still pending) and
+    ``cap`` (per-host budget). Verdicts: robots_deferred / robots_denied /
+    budget_deferred / pass.
+    """
     order = [F.col("priority").desc(), F.col("seq").asc()]
-    salted = allowed.withColumn(
+    salted = cand.withColumn(
         "_salt", F.pmod(F.col("url_hash"), F.lit(SALT_N)).cast("int")
     )
-    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
-    phase1 = salted.withColumn("_rn1", F.row_number().over(w1))
-    survivors = phase1.filter(F.col("_rn1") <= F.col("cap"))
-    cut = phase1.filter(F.col("_rn1") > F.col("cap")).withColumn(
-        "host_rank", F.lit(None).cast("int")
+    w1 = Window.partitionBy("host", "_salt").orderBy(
+        F.col("allowed").desc_nulls_last(), *order
     )
-    w2 = Window.partitionBy("host").orderBy(*order)
-    ranked = survivors.withColumn("host_rank", F.row_number().over(w2))
-    return ranked.unionByName(cut).drop("_salt", "_rn1")
+    p1 = salted.withColumn("_rn1", F.row_number().over(w1)).withColumn(
+        "_surv", F.coalesce(F.col("allowed"), F.lit(False)) & (F.col("_rn1") <= F.col("cap"))
+    )
+    w2 = Window.partitionBy("host").orderBy(F.col("_surv").desc(), *order)
+    return (
+        p1.withColumn("host_rank", F.row_number().over(w2))
+        .withColumn(
+            "verdict",
+            F.when(F.col("allowed").isNull(), "robots_deferred")
+            .when(~F.col("allowed"), "robots_denied")
+            .when(~F.col("_surv") | (F.col("host_rank") > F.col("cap")), "budget_deferred")
+            .otherwise("pass"),
+        )
+        .drop("_salt", "_rn1", "_surv")
+    )
 
 
 def links_to_candidates(fetched: DataFrame, cfg: CrawlConfig, round_n: int) -> DataFrame:

@@ -13,9 +13,16 @@ Scale notes (the 10^10-URL design point):
   host cannot pin a single task (P5)
 - ``html`` is projected away immediately after the extraction UDFs (F6);
   no stage after extraction ever sees the binary column
+- job-count discipline: each round runs a bounded number of Spark jobs —
+  rows are labeled with verdict columns and every per-partition metric
+  family comes from ONE groupBy over a persisted labeled DataFrame
+  (per-partition lineage per BASELINE.json:6 without per-counter jobs)
 """
 
 from __future__ import annotations
+
+import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,25 +30,34 @@ from pyspark.sql import functions as F
 from sparkcrawl.config import CrawlConfig
 from sparkcrawl.frontier import (
     FRONTIER_COLS,
-    anti_join_seen,
+    N_BUCKETS,
     canonicalized,
     dedup_batch,
+    label_candidates,
     links_to_candidates,
-    per_host_budget_rank,
     with_bucket,
 )
 from sparkcrawl.snapstore import SnapStore
 from sparkcrawl.udfs import extract_links_udf, extract_text_udf, robots_allowed_udf
 
-def _stage_counts(df: DataFrame, key: str, round_n: int) -> DataFrame:
-    """Per-partition lineage counter rows for one stage (BASELINE.json:6)."""
-    pid = F.spark_partition_id().alias("partition_id")
-    return df.groupBy(pid).agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit(round_n).alias("round"),
-        F.lit(key).alias("key"),
-        "partition_id",
-        "n",
+METRICS_SCHEMA = "round int, key string, partition_id int, n long"
+
+
+def _verdict_counts(df: DataFrame, verdict_col: str) -> list[tuple[str, int, int]]:
+    """Collect (verdict, partition_id, n) triples in ONE job."""
+    rows = (
+        df.groupBy(
+            F.col(verdict_col).alias("key"),
+            F.spark_partition_id().alias("partition_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
+    return [(r["key"], r["partition_id"], r["n"]) for r in rows]
+
+
+def _fp_col():
+    return F.unhex(F.sha2(F.concat(F.lit("GET\x00"), F.col("canon")), 256)).alias("fp")
 
 
 def prepare_pages(spark: SparkSession, store: SnapStore, pages_path: str) -> int:
@@ -49,10 +65,14 @@ def prepare_pages(spark: SparkSession, store: SnapStore, pages_path: str) -> int
     hive-partitioned by bucket. Stands in for the live network (S2) — the
     Common-Crawl-style corpus IS the fetch source (BASELINE.json:6)."""
     pages = spark.read.parquet(pages_path)
-    idx = with_bucket(canonicalized(pages)).select(
-        "bucket", "url_hash", "canon",
-        F.col("url").alias("page_url"),
-        "html", "warc_ts", "lang",
+    idx = (
+        with_bucket(canonicalized(pages))
+        .repartition(N_BUCKETS, "bucket")
+        .select(
+            "bucket", "url_hash", "canon",
+            F.col("url").alias("page_url"),
+            "html", "warc_ts", "lang",
+        )
     )
     return store.overwrite("pages_idx", idx, partition_by=["bucket"])
 
@@ -60,23 +80,23 @@ def prepare_pages(spark: SparkSession, store: SnapStore, pages_path: str) -> int
 def init_crawl(spark: SparkSession, store: SnapStore, seeds_path: str,
                cfg: CrawlConfig) -> None:
     """Round-(-1) state: seeds into frontier + seen (dont_filter semantics —
-    bypass dedup but record fingerprints); empty robots/log tables."""
+    bypass dedup but record fingerprints); empty robots table."""
     from sparkcrawl.frontier import seeds_to_frontier
 
     seeds = spark.read.parquet(seeds_path)
-    fr = seeds_to_frontier(seeds)
+    fr = seeds_to_frontier(seeds).persist()
     f_snap = store.overwrite("frontier", fr)
     seen = with_bucket(fr).select(
-        "bucket", "url_hash", "canon",
-        F.unhex(F.sha2(F.concat(F.lit("GET\x00"), F.col("canon")), 256)).alias("fp"),
+        "bucket", "url_hash", "canon", _fp_col(),
         F.lit(0).cast("int").alias("first_round"),
-    )
+    ).repartition(1)
     s_snap = store.append("seen", seen, partition_by=["bucket"])
     empty_robots = spark.createDataFrame(
         [], "host string, status int, body string, fetched_round int"
     )
     r_snap = store.overwrite("robots", empty_robots)
     store.commit_round(-1, {"frontier": f_snap, "seen": s_snap, "robots": r_snap})
+    fr.unpersist()
 
 
 def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
@@ -86,207 +106,224 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     frontier = store.read(spark, "frontier")
     robots_prev = store.read(spark, "robots")
     pages_idx = store.read(spark, "pages_idx")
+    counts: list[tuple[str, int, int]] = []
+    _prof = os.environ.get("SPARKCRAWL_PROFILE") == "1"
+    _t = [time.monotonic()]
 
-    metrics: list[DataFrame] = [_stage_counts(frontier, "queued_start", round_n)]
+    def _tick(label: str) -> None:
+        if _prof:
+            now = time.monotonic()
+            print(f"    [r{round_n}] {label}: {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
 
     # --- stage 2: robots fetch for new hosts (page fetches defer one round) ---
     if cfg.obey_robots:
-        corpus_robots = (
-            store.read(spark, "robots_corpus")
-            .select("host", "status", "body")
-        )
-        new_hosts = (
+        corpus_robots = store.read(spark, "robots_corpus").select("host", "status", "body")
+        new_robots = (
             frontier.select("host").distinct()
             .join(robots_prev.select("host"), "host", "left_anti")
-        )
-        new_robots = (
-            new_hosts.join(corpus_robots, "host", "left")
+            .join(corpus_robots, "host", "left")
             .withColumn("fetched_round", F.lit(round_n).cast("int"))
             .select("host", "status", "body", "fetched_round")
+            .persist()
         )
-        metrics.append(_stage_counts(new_robots, "robots_fetched", round_n))
-        robots_snap = store.append("robots", new_robots)
-        robots_all = store.read(spark, "robots")
+        robots_snap = store.append("robots", new_robots.repartition(1))
+        counts.append(("robots_fetched", -1, new_robots.count()))
+        robots_all = robots_prev.unionByName(new_robots)
+        _tick("robots_append")
 
-        cand = frontier.join(robots_all, "host", "left").persist()
-        deferred_robots = cand.filter(
-            F.col("fetched_round").isNull() | (F.col("fetched_round") == round_n)
+        # --- stages 3-4: robots eval + per-host budget, one labeled DF ---
+        cand = frontier.join(robots_all, "host", "left")
+        eligible_flag = F.col("fetched_round") < round_n
+        cand = cand.withColumn(
+            "allowed",
+            F.when(~eligible_flag, F.lit(None)).otherwise(
+                robots_allowed_udf("status", "body", "canon")
+            ),
         )
-        eligible = cand.filter(F.col("fetched_round") < round_n)
-        metrics.append(_stage_counts(deferred_robots, "robots_deferred", round_n))
-
-        # --- stage 3: robots eval on the canonical url ---
-        eligible = eligible.withColumn(
-            "allowed", robots_allowed_udf("status", "body", "canon")
-        ).persist()
-        denied = eligible.filter(~F.col("allowed"))
-        allowed = eligible.filter(F.col("allowed"))
-        metrics.append(_stage_counts(denied, "robots_denied", round_n))
     else:
         robots_snap = store.append(
             "robots",
             spark.createDataFrame([], "host string, status int, body string, fetched_round int"),
         )
-        cand = frontier.persist()
-        deferred_robots = cand.filter(F.lit(False))
-        denied = cand.filter(F.lit(False))
-        eligible = cand
-        allowed = cand
-
-    # --- stage 4: per-host budget (salted two-phase window) ---
-    if host_budget is not None:
-        allowed = allowed.join(
-            host_budget.select("host", "max_per_round"), "host", "left"
+        new_robots = None
+        cand = frontier.withColumn("fetched_round", F.lit(-1).cast("int")).withColumn(
+            "allowed", F.lit(True)
         )
+        eligible_flag = F.lit(True)
+
+    if host_budget is not None:
+        cand = cand.join(host_budget.select("host", "max_per_round"), "host", "left")
     else:
-        allowed = allowed.withColumn("max_per_round", F.lit(None).cast("int"))
-    allowed = allowed.withColumn(
+        cand = cand.withColumn("max_per_round", F.lit(None).cast("int"))
+    cand = cand.withColumn(
         "cap", F.coalesce("max_per_round", F.lit(cfg.max_per_round_default))
     )
-    ranked = per_host_budget_rank(allowed, cfg).persist()
-    passed = ranked.filter(
-        F.col("host_rank").isNotNull() & (F.col("host_rank") <= F.col("cap"))
-    )
-    deferred_budget = ranked.filter(
-        F.col("host_rank").isNull() | (F.col("host_rank") > F.col("cap"))
-    )
-    metrics.append(_stage_counts(deferred_budget, "budget_deferred", round_n))
+
+    work = label_candidates(cand, cfg).select(*FRONTIER_COLS, "verdict").persist()
+    counts.extend(_verdict_counts(work, "verdict"))
+    _tick("work_materialize")
 
     # --- stage 5: global priority order + round cap (TakeOrdered top-K) ---
+    passed = work.filter(F.col("verdict") == "pass")
     scheduled = (
-        passed.orderBy(F.col("priority").desc(), F.col("seq").asc())
+        passed.select(*FRONTIER_COLS)
+        .orderBy(F.col("priority").desc(), F.col("seq").asc())
         .limit(cfg.round_size)
         .persist()
     )
-    deferred_cap = passed.join(scheduled.select("canon"), "canon", "left_anti")
-    metrics.append(_stage_counts(scheduled, "scheduled", round_n))
-    metrics.append(_stage_counts(deferred_cap, "cap_deferred", round_n))
-
-    # record the round's schedule (ordered) for golden comparison + lineage
-    sched_log = scheduled.select(
-        F.lit(round_n).alias("round"), "url", "canon", "url_hash", "host",
-        "depth", "priority", "seq",
+    deferred_cap = passed.select(*FRONTIER_COLS).join(
+        scheduled.select("canon"), "canon", "left_anti"
     )
-    sched_snap = store.append("schedule", sched_log)
 
     # --- stage 6: fetch = join vs the corpus index (bucket-pruned equi-join) ---
+    # --- stage 7: extraction UDFs; html dropped in the same projection (F6) ---
     fetchres = (
-        with_bucket(scheduled.select(*FRONTIER_COLS))
+        with_bucket(scheduled)
         .join(
             pages_idx.select("bucket", "url_hash", "canon", "page_url", "html"),
             ["bucket", "url_hash", "canon"],
             "left",
         )
-    )
-    # --- stage 7: extraction UDFs; html is dropped in the same projection ---
-    fetched = (
-        fetchres.filter(F.col("html").isNotNull())
-        .withColumn("text", extract_text_udf("html"))
-        .withColumn("links", extract_links_udf("html", "page_url"))
+        .withColumn("hit", F.col("html").isNotNull())
+        .withColumn(
+            "text", F.when(F.col("hit"), extract_text_udf("html"))
+        )
+        .withColumn(
+            "links",
+            F.when(F.col("hit"), extract_links_udf("html", "page_url")),
+        )
         .drop("html")
         .persist()
     )
-    missed = fetchres.filter(F.col("html").isNull()).select(*FRONTIER_COLS).persist()
-    metrics.append(_stage_counts(fetched, "fetched", round_n))
-    metrics.append(_stage_counts(missed, "fetch_miss", round_n))
+    counts.extend(
+        (("fetched" if k == "true" else "fetch_miss"), p, n)
+        for k, p, n in _verdict_counts(
+            fetchres.withColumn("hitk", F.col("hit").cast("string")), "hitk"
+        )
+    )
+    _tick("fetch_extract")
+    fetched = fetchres.filter(F.col("hit"))
+    missed = fetchres.filter(~F.col("hit")).select(*FRONTIER_COLS)
 
     ext_snap = store.append(
         "extracted",
         fetched.select(
             F.lit(round_n).alias("round"), "url", "canon", "url_hash",
             "text", F.size("links").alias("n_links"), "links",
-        ),
+        ).coalesce(8),
     )
 
-    # --- stages 7b-8: link discovery, filters, dedup ---
+    # --- stages 7b-8: link discovery, filters, batch dedup, seen anti-join ---
     linkcands = links_to_candidates(fetched, cfg, round_n)
-    viable = dedup_batch(linkcands.filter(F.col("drop_reason").isNull()))
-    seen = store.read(spark, "seen")
-    survivors = viable.filter(~F.col("dup_in_batch"))
-    fresh = anti_join_seen(survivors, seen).persist()
-    linkcands = linkcands.persist()
-    viable = viable.persist()
-
-    metrics.append(_stage_counts(linkcands, "links_extracted", round_n))
-    for reason, key in [
-        ("NOFOLLOW", "nofollow_dropped"), ("DEPTH", "depth_dropped"),
-        ("URL_GUARD", "url_guard_dropped"), ("OFFSITE", "offsite_dropped"),
-    ]:
-        metrics.append(
-            _stage_counts(
-                linkcands.filter(F.col("drop_reason") == reason), key, round_n
-            )
-        )
-    metrics.append(
-        _stage_counts(viable.filter(F.col("dup_in_batch")), "dup_in_batch", round_n)
+    dropped = linkcands.filter(F.col("drop_reason").isNotNull()).withColumn(
+        "status",
+        F.concat(F.lower(F.col("drop_reason")), F.lit("_dropped")),
     )
-    # dedup_dropped = unique viable minus fresh
-    metrics.append(
-        _stage_counts(
-            viable.filter(~F.col("dup_in_batch"))
-            .join(fresh.select("canon"), "canon", "left_anti"),
-            "dedup_dropped", round_n,
+    seen_keys = store.read(spark, "seen").select(
+        "bucket", "url_hash", "canon", F.lit(True).alias("_seen")
+    )
+    viable = (
+        dedup_batch(linkcands.filter(F.col("drop_reason").isNull()))
+        .transform(with_bucket)
+        .join(seen_keys, ["bucket", "url_hash", "canon"], "left")
+        .withColumn(
+            "status",
+            F.when(F.col("dup_in_batch"), "dup_in_batch")
+            .when(F.col("_seen").isNotNull(), "dedup_dropped")
+            .otherwise("enqueued"),
         )
     )
-    metrics.append(_stage_counts(fresh, "enqueued", round_n))
+    link_cols = [*FRONTIER_COLS, "bucket", "status"]
+    linkwork = (
+        viable.select(*link_cols)
+        .unionByName(with_bucket(dropped).select(*link_cols))
+        .persist()
+    )
+    link_counts = _verdict_counts(linkwork, "status")
+    counts.extend(link_counts)
+    counts.append(("links_extracted", -1, sum(n for _, _, n in link_counts)))
+    _tick("linkwork")
+    fresh = linkwork.filter(F.col("status") == "enqueued")
 
     # --- commits: seen append, frontier overwrite, terminal log, metrics ---
     seen_snap = store.append(
         "seen",
         fresh.select(
-            "bucket", "url_hash", "canon",
-            F.unhex(F.sha2(F.concat(F.lit("GET\x00"), F.col("canon")), 256)).alias("fp"),
+            "bucket", "url_hash", "canon", _fp_col(),
             F.lit(round_n).cast("int").alias("first_round"),
-        ),
+        ).repartition(8, "bucket"),
         partition_by=["bucket"],
     )
 
     new_frontier = (
-        deferred_robots.select(*FRONTIER_COLS)
-        .unionByName(deferred_budget.select(*FRONTIER_COLS))
-        .unionByName(deferred_cap.select(*FRONTIER_COLS))
+        work.filter(F.col("verdict").isin("robots_deferred", "budget_deferred"))
+        .select(*FRONTIER_COLS)
+        .unionByName(deferred_cap)
         .unionByName(fresh.select(*FRONTIER_COLS))
+        .repartition(8, "url_hash")
     )
     frontier_snap = store.overwrite("frontier", new_frontier)
 
     log = (
         fetched.select(*FRONTIER_COLS).withColumn("state", F.lit("FETCHED"))
         .unionByName(missed.withColumn("state", F.lit("ERROR")))
-        .unionByName(denied.select(*FRONTIER_COLS).withColumn("state", F.lit("ROBOTS_DENIED")))
+        .unionByName(
+            work.filter(F.col("verdict") == "robots_denied")
+            .select(*FRONTIER_COLS)
+            .withColumn("state", F.lit("ROBOTS_DENIED"))
+        )
         .withColumn("round", F.lit(round_n).cast("int"))
+        .repartition(1)
     )
+    _tick("seen_frontier_writes")
     log_snap = store.append("frontier_log", log)
+    _tick("log_write")
 
-    metrics_df = metrics[0]
-    for m in metrics[1:]:
-        metrics_df = metrics_df.unionByName(m)
-    met_snap = store.append("metrics", metrics_df)
-
-    # summary (small collect: one row per counter key)
-    summary_rows = (
-        store.read(spark, "metrics")
-        .filter(F.col("round") == round_n)
-        .groupBy("key").agg(F.sum("n").alias("n"))
-        .collect()
+    # metrics: already collected driver-side (tiny) → write without a shuffle
+    key_rename = {"pass": "scheduled_budget_pass"}
+    metric_rows = [
+        (round_n, key_rename.get(k, k), int(p), int(n)) for k, p, n in counts
+    ]
+    summary: dict[str, int] = {}
+    for _, k, _, n in metric_rows:
+        summary[k] = summary.get(k, 0) + n
+    # derive scheduled/cap_deferred from the global-cap split
+    n_sched = summary.get("fetched", 0) + summary.get("fetch_miss", 0)
+    n_pass = summary.get("scheduled_budget_pass", 0)
+    queued_start = n_pass + sum(
+        summary.get(k, 0)
+        for k in ("robots_deferred", "robots_denied", "budget_deferred")
     )
-    summary = {r["key"]: r["n"] for r in summary_rows}
-    queued_end = store.read(spark, "frontier").count()
-    summary["queued_end"] = queued_end
-    summary["round"] = round_n
+    metric_rows.append((round_n, "queued_start", -1, queued_start))
+    metric_rows.append((round_n, "scheduled", -1, n_sched))
+    metric_rows.append((round_n, "cap_deferred", -1, n_pass - n_sched))
+    queued_end = (
+        summary.get("robots_deferred", 0)
+        + summary.get("budget_deferred", 0)
+        + (n_pass - n_sched)
+        + summary.get("enqueued", 0)
+    )
+    metric_rows.append((round_n, "queued_end", -1, int(queued_end)))
+    summary["queued_start"] = queued_start
+    summary["scheduled"] = n_sched
+    summary["cap_deferred"] = n_pass - n_sched
+    met_snap = store.append(
+        "metrics", spark.createDataFrame(metric_rows, METRICS_SCHEMA).coalesce(1)
+    )
 
+    summary["queued_end"] = int(queued_end)
+    summary["round"] = round_n
     store.commit_round(
         round_n,
         {
             "frontier": frontier_snap, "seen": seen_snap, "robots": robots_snap,
             "extracted": ext_snap, "frontier_log": log_snap, "metrics": met_snap,
-            "schedule": sched_snap,
         },
         meta={k: int(v) for k, v in summary.items()},
     )
 
-    for df in (cand, eligible, ranked, scheduled, fetched, missed, linkcands, viable, fresh):
-        try:
+    for df in (work, scheduled, fetchres, linkwork, new_robots):
+        if df is not None:
             df.unpersist()
-        except Exception:
-            pass
     return summary

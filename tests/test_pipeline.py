@@ -40,8 +40,10 @@ def golden(corpus):
 
 
 def spark_rounds(spark, store):
+    from sparkcrawl.crawl import schedule_view
+
     rows = (
-        store.read(spark, "schedule")
+        schedule_view(spark, store)
         .orderBy("round", F.desc("priority"), "seq")
         .select("round", "canon")
         .collect()

@@ -1,0 +1,71 @@
+"""Driver-harness rehearsal: run every queries() entry on Spark and its
+oracle_sql() twin on DuckDB over the same parquet, compare row count, column
+names, and order-insensitive values — the same gate CORRECTNESS_r{N}.json
+applies (at sf0.001 here for speed; the driver runs sf0.01)."""
+
+import datetime
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkcrawl.queries import TABLES, oracle_sql, queries  # noqa: E402
+
+Q = queries()
+O = oracle_sql()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return repr(v)
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def test_every_query_has_callable_and_most_have_oracles():
+    assert len(Q) >= 25
+    missing = [k for k in O if k not in Q]
+    assert not missing
+    no_oracle = [k for k in Q if k not in O]
+    assert set(no_oracle) <= {"approx_users"}, no_oracle
+
+
+@pytest.mark.parametrize("name", sorted(Q))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = Q[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in O:
+        assert len(srows) >= 0  # rows-only check (driver records weaker gate)
+        return
+    res = duck.execute(O[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), (scols, dcols)
+    assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)} rows"
+    assert _rowset(scols, srows) == _rowset(dcols, drows), name
