@@ -28,19 +28,23 @@ HEADLINE = [
     "ngram_jaccard", "ann_bruteforce", "embed_norms", "seen_antijoin",
 ]
 
-BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "80"))
-BENCH_PPH = int(os.environ.get("SPARKCRAWL_BENCH_PPH", "150"))
+BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))
+BENCH_PPH = int(os.environ.get("SPARKCRAWL_BENCH_PPH", "300"))
 
 
 def bench_corpus() -> str:
-    """Deterministic bench corpus, cached across runs (pure fn of params)."""
+    """Deterministic bench corpus, cached across runs (pure fn of params).
+
+    Every host is seeded and budgets are generous so rounds saturate the
+    global round cap — the bench measures engine throughput, not politeness
+    starvation (the politeness-bound regime is covered by the tests)."""
     from sparkcrawl.synth import generate
 
-    d = f"/tmp/sparkcrawl_bench_corpus_v1_{BENCH_HOSTS}x{BENCH_PPH}"
+    d = f"/tmp/sparkcrawl_bench_corpus_v2_{BENCH_HOSTS}x{BENCH_PPH}"
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         generate(d, seed=42, n_hosts=BENCH_HOSTS, pages_per_host=BENCH_PPH,
-                 n_seeds=8)
+                 n_seeds=BENCH_HOSTS, max_per_round=60)
         open(marker, "w").write("ok")
     return d
 
@@ -54,7 +58,7 @@ def run_crawl_bench(spark) -> dict:
 
     corpus = bench_corpus()
     store = tempfile.mkdtemp(prefix="sparkcrawl_bench_store_")
-    cfg = CrawlConfig(round_size=4000, max_rounds=12, depth_limit=12)
+    cfg = CrawlConfig(round_size=4000, max_rounds=10, depth_limit=12)
     try:
         summaries = run_crawl(spark, corpus, store, cfg)
         scheduled = sum(s.get("scheduled", 0) for s in summaries)

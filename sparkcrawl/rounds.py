@@ -32,7 +32,6 @@ from sparkcrawl.frontier import (
     FRONTIER_COLS,
     N_BUCKETS,
     canonicalized,
-    dedup_batch,
     label_candidates,
     links_to_candidates,
     with_bucket,
@@ -40,7 +39,16 @@ from sparkcrawl.frontier import (
 from sparkcrawl.snapstore import SnapStore
 from sparkcrawl.udfs import extract_links_udf, extract_text_udf, robots_allowed_udf
 
-METRICS_SCHEMA = "round int, key string, partition_id int, n long"
+from pyspark.sql import types as _T
+
+METRICS_SCHEMA = _T.StructType(
+    [
+        _T.StructField("round", _T.IntegerType()),
+        _T.StructField("key", _T.StringType()),
+        _T.StructField("partition_id", _T.IntegerType()),
+        _T.StructField("n", _T.LongType()),
+    ]
+)
 
 
 def _verdict_counts(df: DataFrame, verdict_col: str) -> list[tuple[str, int, int]]:
@@ -215,29 +223,32 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     )
 
     # --- stages 7b-8: link discovery, filters, batch dedup, seen anti-join ---
-    linkcands = links_to_candidates(fetched, cfg, round_n)
-    dropped = linkcands.filter(F.col("drop_reason").isNotNull()).withColumn(
-        "status",
-        F.concat(F.lower(F.col("drop_reason")), F.lit("_dropped")),
-    )
+    # single pass: the dedup window orders dropped rows AFTER viable ones
+    # within each canon group, so a viable row's row_number equals its rank
+    # among viable rows only — no branch/union, explode + canon UDF run once
     seen_keys = store.read(spark, "seen").select(
         "bucket", "url_hash", "canon", F.lit(True).alias("_seen")
     )
-    viable = (
-        dedup_batch(linkcands.filter(F.col("drop_reason").isNull()))
-        .transform(with_bucket)
+    from pyspark.sql import Window
+
+    w_dup = Window.partitionBy("canon").orderBy(
+        F.col("drop_reason").isNotNull().asc(), F.col("seq").asc()
+    )
+    linkwork = (
+        with_bucket(links_to_candidates(fetched, cfg, round_n))
+        .withColumn("_rn", F.row_number().over(w_dup))
         .join(seen_keys, ["bucket", "url_hash", "canon"], "left")
         .withColumn(
             "status",
-            F.when(F.col("dup_in_batch"), "dup_in_batch")
+            F.when(
+                F.col("drop_reason").isNotNull(),
+                F.concat(F.lower(F.col("drop_reason")), F.lit("_dropped")),
+            )
+            .when(F.col("_rn") > 1, "dup_in_batch")
             .when(F.col("_seen").isNotNull(), "dedup_dropped")
             .otherwise("enqueued"),
         )
-    )
-    link_cols = [*FRONTIER_COLS, "bucket", "status"]
-    linkwork = (
-        viable.select(*link_cols)
-        .unionByName(with_bucket(dropped).select(*link_cols))
+        .select(*FRONTIER_COLS, "bucket", "status")
         .persist()
     )
     link_counts = _verdict_counts(linkwork, "status")
@@ -308,10 +319,22 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     summary["queued_start"] = queued_start
     summary["scheduled"] = n_sched
     summary["cap_deferred"] = n_pass - n_sched
-    met_snap = store.append(
-        "metrics", spark.createDataFrame(metric_rows, METRICS_SCHEMA).coalesce(1)
+    import pyarrow as pa
+
+    met_snap = store.append_local(
+        "metrics",
+        pa.table(
+            {
+                "round": pa.array([r[0] for r in metric_rows], pa.int32()),
+                "key": pa.array([r[1] for r in metric_rows], pa.string()),
+                "partition_id": pa.array([r[2] for r in metric_rows], pa.int32()),
+                "n": pa.array([r[3] for r in metric_rows], pa.int64()),
+            }
+        ),
+        METRICS_SCHEMA,
     )
 
+    _tick("metrics_write")
     summary["queued_end"] = int(queued_end)
     summary["round"] = round_n
     store.commit_round(
@@ -326,4 +349,5 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     for df in (work, scheduled, fetchres, linkwork, new_robots):
         if df is not None:
             df.unpersist()
+    _tick("commit_unpersist")
     return summary

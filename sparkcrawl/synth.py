@@ -66,6 +66,62 @@ def _swapped_variant(url: str) -> str:
     return url + "#sec"
 
 
+def _gen_host(args) -> tuple[list, list, list, list, list]:
+    """Generate one host's pages — pure function of the args tuple, so the
+    corpus is identical whether generated serially or via a process pool."""
+    (seed, i, n_hosts, pages_per_host, n_links_lo, n_links_hi, n_paras_lo,
+     n_paras_hi) = args
+    hot = 0  # host 0 is the hot host (skew target)
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for j in range(pages_per_host):
+        rng = random.Random(seed * 1_000_003 + i * 7919 + j)
+        url = page_url(i, j)
+        # --- outgoing links (document order matters) ---
+        links: list[tuple[str, bool]] = []  # (href, nofollow)
+        if j + 1 < pages_per_host:
+            links.append((_page_path(j + 1), False))  # relative chain link
+        for _ in range(rng.randint(n_links_lo, n_links_hi)):  # random intra-host
+            links.append((_page_path(rng.randrange(pages_per_host)), False))
+        if rng.random() < 0.10:  # cross-host (absolute)
+            ti = hot if rng.random() < 0.30 else rng.randrange(n_hosts)
+            links.append((page_url(ti, rng.randrange(pages_per_host)), False))
+        if rng.random() < 0.05 and links:  # canonical-duplicate variant
+            href, _nf = rng.choice(links)
+            absu = href if href.startswith("http") else f"http://{host_name(i)}{href}"
+            links.append((_swapped_variant(absu), False))
+        if rng.random() < 0.01:
+            links.append((_page_path(rng.randrange(pages_per_host)), True))
+        if rng.random() < 0.01:
+            links.append((f"/dead{j}-{rng.randrange(10)}.html", False))
+
+        latin1 = (i + j) % 17 == 0
+        words = _WORDS + (_WORDS_L1 if latin1 else [])
+        paras = "".join(
+            "<p>" + " ".join(rng.choice(words) for _ in range(rng.randint(5, 15))) + "</p>"
+            for _ in range(rng.randint(n_paras_lo, n_paras_hi))
+        )
+        nf_attr = ' rel="nofollow"'
+        anchors = "".join(
+            '<a href="{}"{}>'.format(href, nf_attr if nf else "")
+            + " ".join(rng.choice(words) for _ in range(rng.randint(1, 3)))
+            + "</a> "
+            for href, nf in links
+        )
+        charset = "latin-1" if latin1 else "utf-8"
+        doc = (
+            f'<html><head><title>page {i}-{j}</title><meta charset="{charset}">'
+            f"<style>.x{{color:red}}</style></head><body>{paras}"
+            f"<script>var v={j};</script>{anchors}</body></html>"
+        )
+        html = doc.encode("latin-1" if latin1 else "utf-8", errors="replace")
+        urls.append(url)
+        tss.append(EPOCH + dt.timedelta(seconds=xxh64_str(url) % 86400))
+        htmls.append(html)
+        texts.append(extract_text(html))
+        langs.append(_LANGS[xxh64_str(url) % 3])
+    return urls, tss, htmls, texts, langs
+
+
 def generate(
     out_dir: str,
     seed: int = 42,
@@ -73,59 +129,31 @@ def generate(
     pages_per_host: int = 20,
     n_seeds: int = 3,
     max_per_round: int = 8,
+    n_links: tuple[int, int] = (2, 4),
+    n_paras: tuple[int, int] = (2, 5),
+    procs: int | None = None,
 ) -> dict:
-    """Write the corpus tables under ``out_dir``; returns summary counts."""
+    """Write the corpus tables under ``out_dir``; returns summary counts.
+
+    ``n_links``/``n_paras`` control page richness (bench corpora use larger
+    values to approximate real web pages); ``procs`` parallelizes generation
+    across hosts with identical output to a serial run."""
     os.makedirs(out_dir, exist_ok=True)
-    hot = 0  # host 0 is the hot host (skew target)
+    tasks = [
+        (seed, i, n_hosts, pages_per_host, n_links[0], n_links[1],
+         n_paras[0], n_paras[1])
+        for i in range(n_hosts)
+    ]
+    if procs and procs > 1 and n_hosts > 1:
+        import multiprocessing as mp
 
+        with mp.Pool(procs) as pool:
+            parts = pool.map(_gen_host, tasks, chunksize=max(1, n_hosts // (procs * 4)))
+    else:
+        parts = [_gen_host(t) for t in tasks]
     urls, tss, htmls, texts, langs = [], [], [], [], []
-    for i in range(n_hosts):
-        for j in range(pages_per_host):
-            rng = random.Random(seed * 1_000_003 + i * 7919 + j)
-            url = page_url(i, j)
-            # --- outgoing links (document order matters) ---
-            links: list[tuple[str, bool]] = []  # (href, nofollow)
-            if j + 1 < pages_per_host:
-                links.append((_page_path(j + 1), False))  # relative chain link
-            for _ in range(rng.randint(2, 4)):  # random intra-host
-                links.append((_page_path(rng.randrange(pages_per_host)), False))
-            if rng.random() < 0.10:  # cross-host (absolute)
-                ti = hot if rng.random() < 0.30 else rng.randrange(n_hosts)
-                links.append((page_url(ti, rng.randrange(pages_per_host)), False))
-            if rng.random() < 0.05 and links:  # canonical-duplicate variant
-                href, _nf = rng.choice(links)
-                absu = href if href.startswith("http") else f"http://{host_name(i)}{href}"
-                links.append((_swapped_variant(absu), False))
-            if rng.random() < 0.01:
-                links.append((_page_path(rng.randrange(pages_per_host)), True))
-            if rng.random() < 0.01:
-                links.append((f"/dead{j}-{rng.randrange(10)}.html", False))
-
-            latin1 = (i + j) % 17 == 0
-            words = _WORDS + (_WORDS_L1 if latin1 else [])
-            paras = "".join(
-                "<p>" + " ".join(rng.choice(words) for _ in range(rng.randint(5, 15))) + "</p>"
-                for _ in range(rng.randint(2, 5))
-            )
-            nf_attr = ' rel="nofollow"'
-            anchors = "".join(
-                '<a href="{}"{}>'.format(href, nf_attr if nf else "")
-                + " ".join(rng.choice(words) for _ in range(rng.randint(1, 3)))
-                + "</a> "
-                for href, nf in links
-            )
-            charset = "latin-1" if latin1 else "utf-8"
-            doc = (
-                f'<html><head><title>page {i}-{j}</title><meta charset="{charset}">'
-                f"<style>.x{{color:red}}</style></head><body>{paras}"
-                f"<script>var v={j};</script>{anchors}</body></html>"
-            )
-            html = doc.encode("latin-1" if latin1 else "utf-8", errors="replace")
-            urls.append(url)
-            tss.append(EPOCH + dt.timedelta(seconds=xxh64_str(url) % 86400))
-            htmls.append(html)
-            texts.append(extract_text(html))
-            langs.append(_LANGS[xxh64_str(url) % 3])
+    for u, t, h, x, l in parts:
+        urls.extend(u); tss.extend(t); htmls.extend(h); texts.extend(x); langs.extend(l)
 
     pages = pa.table(
         {
