@@ -36,7 +36,7 @@ store = tempfile.mkdtemp(prefix=f"scaling_store_{{cores}}_")
 spark = get_spark(cores=cores, app=f"scaling-{{cores}}")
 try:
     cfg = CrawlConfig(round_size={round_size}, max_rounds={rounds},
-                      depth_limit=30, max_per_round_default=400)
+                      depth_limit=50, max_per_round_default=2000)
     summaries = run_crawl(spark, corpus, store, cfg, verbose=True)
 finally:
     spark.stop()
@@ -68,24 +68,29 @@ def run_level(cores: int, corpus: str, round_size: int, rounds: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--hosts", type=int, default=600)
+    ap.add_argument("--hosts", type=int, default=800)
     ap.add_argument("--pph", type=int, default=500)
-    ap.add_argument("--round-size", type=int, default=120_000)
-    ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--round-size", type=int, default=500_000)
+    ap.add_argument("--rounds", type=int, default=10)
+    ap.add_argument("--budget", type=int, default=2000)
     ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
     from sparkcrawl.synth import generate
 
-    corpus = f"/tmp/sparkcrawl_scaling_corpus_{args.hosts}x{args.pph}"
+    # Common-Crawl-ish page weight (~9 KB html, ~40 links); corpus + spark
+    # scratch live on tmpfs — the sandbox VM disk has bursty writeback
+    # latency that would pollute the scaling signal (real clusters use NVMe)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    corpus = f"{base}/sparkcrawl_scaling_corpus_{args.hosts}x{args.pph}"
     marker = os.path.join(corpus, "_DONE")
     if not os.path.exists(marker):
         print(f"generating corpus {args.hosts}x{args.pph} ...", flush=True)
         info = generate(
             corpus, seed=42, n_hosts=args.hosts, pages_per_host=args.pph,
-            n_seeds=args.hosts, max_per_round=400,
-            n_links=(20, 40), n_paras=(10, 25), procs=min(16, os.cpu_count() or 8),
+            n_seeds=args.hosts, max_per_round=args.budget,
+            n_links=(30, 50), n_paras=(60, 120), procs=min(16, os.cpu_count() or 8),
         )
         print(info, flush=True)
         open(marker, "w").write("ok")
@@ -117,8 +122,9 @@ def main() -> None:
 ## Scaling efficiency (N → 4N parallelism, BASELINE.json:2,14)
 
 Same crawl job, same input corpus ({args.hosts} hosts × {args.pph} pages,
-rich pages ~2.5 KB, every host seeded, budget 400/host/round,
-round_size={args.round_size}), fresh JVM per level. Throughput =
+Common-Crawl-ish pages ~9 KB, every host seeded, budget
+{args.budget}/host/round, round_size={args.round_size}), fresh JVM per
+level, corpus + spark scratch on tmpfs. Throughput =
 (URLs scheduled + dedup-dropped) / Σ round wall, from the pipeline's own
 metrics table (Spark startup + corpus generation excluded).
 

@@ -38,6 +38,11 @@ class CrawlConfig:
     # sidecar is backfilled from the full seen set at the crossover, so
     # late activation cannot produce false negatives.
     bloom_min_seen: int = 1_000_000
+    # Below this many queued candidates the budget window skips its salted
+    # pre-phase (P5): one exchange instead of two. Skew only threatens when a
+    # single host's queue outgrows a task, which cannot happen under this
+    # bound. Verdicts are identical on both paths.
+    salt_min_candidates: int = 1_000_000
 
     def host_allowed(self, host: str) -> bool:
         if self.allowed_domains is None:

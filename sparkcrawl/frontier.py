@@ -72,13 +72,16 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     )
 
 
-def label_candidates(cand: DataFrame, cfg: CrawlConfig) -> DataFrame:
+def label_candidates(cand: DataFrame, cfg: CrawlConfig, salt: bool = True) -> DataFrame:
     """Single-pass robots + budget labeling → ``verdict`` column.
 
-    Per-host top-k is a two-phase salted window (P3+P5): phase 1 ranks
-    within (host, salt) so one hot host fans across SALT_N tasks and is
-    capped to SALT_N×cap rows before the exact per-host rank in phase 2.
-    Both windows run over ALL candidate rows with no branch/union (so the
+    Per-host top-k is a two-phase salted window (P3+P5) when ``salt``: phase
+    1 ranks within (host, salt) so one hot host fans across SALT_N tasks and
+    is capped to SALT_N×cap rows before the exact per-host rank in phase 2.
+    With ``salt=False`` (small frontiers, where a second exchange costs more
+    than skew ever could) the exact phase-2 window runs alone — the verdict
+    for every row is identical either way; only the physical plan differs.
+    All windows run over ALL candidate rows with no branch/union (so the
     robots-UDF lineage is computed exactly once): ordering by the eligibility
     flag DESC first means eligible rows sort ahead of ineligible ones, so a
     row_number over the whole partition equals the rank among eligible rows
@@ -89,17 +92,23 @@ def label_candidates(cand: DataFrame, cfg: CrawlConfig) -> DataFrame:
     budget_deferred / pass.
     """
     order = [F.col("priority").desc(), F.col("seq").asc()]
-    salted = cand.withColumn(
-        "_salt", F.pmod(F.col("url_hash"), F.lit(SALT_N)).cast("int")
-    )
-    w1 = Window.partitionBy("host", "_salt").orderBy(
-        F.col("allowed").desc_nulls_last(), *order
-    )
-    p1 = salted.withColumn("_rn1", F.row_number().over(w1)).withColumn(
-        "_surv", F.coalesce(F.col("allowed"), F.lit(False)) & (F.col("_rn1") <= F.col("cap"))
-    )
+    if salt:
+        salted = cand.withColumn(
+            "_salt", F.pmod(F.col("url_hash"), F.lit(SALT_N)).cast("int")
+        )
+        w1 = Window.partitionBy("host", "_salt").orderBy(
+            F.col("allowed").desc_nulls_last(), *order
+        )
+        p1 = salted.withColumn("_rn1", F.row_number().over(w1)).withColumn(
+            "_surv",
+            F.coalesce(F.col("allowed"), F.lit(False)) & (F.col("_rn1") <= F.col("cap")),
+        )
+    else:
+        p1 = cand.withColumn(
+            "_surv", F.coalesce(F.col("allowed"), F.lit(False))
+        )
     w2 = Window.partitionBy("host").orderBy(F.col("_surv").desc(), *order)
-    return (
+    out = (
         p1.withColumn("host_rank", F.row_number().over(w2))
         .withColumn(
             "verdict",
@@ -108,8 +117,8 @@ def label_candidates(cand: DataFrame, cfg: CrawlConfig) -> DataFrame:
             .when(~F.col("_surv") | (F.col("host_rank") > F.col("cap")), "budget_deferred")
             .otherwise("pass"),
         )
-        .drop("_salt", "_rn1", "_surv")
     )
+    return out.drop("_salt", "_rn1", "_surv") if salt else out.drop("_surv")
 
 
 def links_to_candidates(fetched: DataFrame, cfg: CrawlConfig, round_n: int) -> DataFrame:

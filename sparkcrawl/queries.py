@@ -452,6 +452,20 @@ def _q_ann_ivf(engine: str) -> str:
     """
 
 
+def _q_embed_neardup(engine: str) -> str:
+    # embedding-cosine near-duplicate detection: label-blocked self-join
+    # (IVF-style blocking keeps the candidate set linear in cluster size —
+    # the 100 TB path replaces the block key with LSH bucket ids)
+    cos = _cosine(engine, "a.embedding", "b.embedding")
+    return f"""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND({cos}, 6) AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND({cos}, 6) >= 0.30
+    """
+
+
 def _q_embed_norms(engine: str) -> str:
     # array ops: L2 norm per vector, averaged per label (integer-millis exact)
     if engine == "spark":
@@ -530,6 +544,7 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "ngram_jaccard": _q_ngram_jaccard,
     "ann_bruteforce": _q_ann_bruteforce,
     "ann_ivf": _q_ann_ivf,
+    "embed_neardup": _q_embed_neardup,
     "embed_norms": _q_embed_norms,
     "event_pivot": _q_event_pivot,
     "multimodal_bytes": _q_multimodal_bytes,

@@ -225,7 +225,16 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         "cap", F.coalesce("max_per_round", F.lit(cfg.max_per_round_default))
     )
 
-    work = label_candidates(cand, cfg).select(*FRONTIER_COLS, "verdict").persist()
+    queued_prev = int(
+        prev_manifest.get("meta", {}).get(
+            "queued_end", prev_manifest.get("meta", {}).get("seen_total", 1 << 62)
+        )
+    )
+    work = (
+        label_candidates(cand, cfg, salt=queued_prev >= cfg.salt_min_candidates)
+        .select(*FRONTIER_COLS, "verdict")
+        .persist()
+    )
     counts.extend(_verdict_counts(work, "verdict"))
     n_pass = sum(n for k, _, n in counts if k == "pass")
     _tick("work_materialize")

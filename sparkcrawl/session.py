@@ -21,7 +21,11 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores * 2, 8)
+        # = cores, not a multiple: local-mode per-reduce-task overhead is
+        # ~10-15 ms, so extra shuffle partitions cost wall time on every
+        # exchange without adding parallelism (AQE splits skewed partitions
+        # when one runs long). On a real cluster raise this to 2-4× cores.
+        shuffle_partitions = max(cores, 8)
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -37,6 +41,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    # shuffle/spill scratch on tmpfs when available: the sandbox VM disk has
+    # bursty writeback latency that pollutes timing; real clusters put
+    # spark.local.dir on NVMe. Overridable via SPARKCRAWL_LOCAL_DIR.
+    local_dir = os.environ.get(
+        "SPARKCRAWL_LOCAL_DIR",
+        "/dev/shm/sparkcrawl_local" if os.path.isdir("/dev/shm") else "",
+    )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -1,0 +1,106 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The flagship crawl is round-based microbatching (BSP) by design, but the
+reference's continuous ingest shape maps onto Structured Streaming: a
+Common-Crawl-style ``pages`` directory consumed as a stream, with
+event-time watermarking on ``warc_ts``, streaming dedup by canonical URL,
+and tumbling-window per-host throughput aggregation. ``Trigger.AvailableNow``
+drains whatever data exists and stops — the streaming twin of one crawl
+round, and exactly how a production backfill runs; the same queries run
+unbounded with a processing-time trigger on a live directory.
+
+All transformations are native (watermark, dropDuplicatesWithinWatermark,
+window agg); the only Python is the same canonicalize pandas UDF the batch
+pipeline uses — streaming and batch share one kernel, so results agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkcrawl.udfs import canonicalize_udf, host_udf
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def read_pages_stream(
+    spark: SparkSession, pages_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a pages parquet directory. Column pruning
+    matters even more under streaming — select early, never carry ``html``
+    into stateful operators."""
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(pages_dir)
+
+
+def canonical_pages(pages: DataFrame) -> DataFrame:
+    """url → (canon, host) with the shared kernel; html pruned immediately."""
+    return (
+        pages.select("url", "warc_ts", "lang")
+        .withColumn("canon", canonicalize_udf(F.col("url")))
+        .withColumn("host", host_udf(F.col("canon")))
+    )
+
+
+def streaming_dedup(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming URL-seen: keep the first arrival per canonical url within
+    the watermark horizon. State is bounded by the watermark — the streaming
+    analogue of the seen table's bloom horizon (late duplicates past the
+    watermark fall through to the batch exact dedup)."""
+    return (
+        canonical_pages(pages)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["canon"])
+    )
+
+
+def hourly_host_counts(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour window per host: pages + distinct-ish langs. The
+    streaming twin of the metrics table's per-round throughput counters."""
+    return (
+        canonical_pages(pages)
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "1 hour").alias("win"), F.col("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.approx_count_distinct("canon").alias("approx_urls"),
+        )
+        .select(
+            F.col("win.start").alias("hour"), "host", "n_pages", "approx_urls"
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, query_name: str,
+    output_mode: str = "append",
+) -> list:
+    """Drain the stream with AvailableNow into an in-memory sink; returns
+    collected rows. Checkpointed: re-running with the same checkpoint
+    resumes exactly-once (no reprocessed files). Aggregations use
+    ``output_mode="complete"`` so windows still open at end-of-data emit."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()

@@ -1,0 +1,99 @@
+"""Plan-shape assertions (SURVEY.md §5.2.5): the physical plans the design
+depends on at 100 TB — column pruning of html:binary, broadcast fetch join
+with an unshuffled corpus side, predicate pushdown to parquet, salted
+vs unsalted budget window shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcrawl.config import CrawlConfig
+from sparkcrawl.frontier import label_candidates, with_bucket
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def pages_idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("planshape")) + "/pages_idx"
+    rows = [(i % 4, i, f"http://h{i}.example/", f"http://h{i}.example/", b"<html></html>")
+            for i in range(100)]
+    spark.createDataFrame(
+        rows, "bucket int, url_hash long, canon string, page_url string, html binary"
+    ).write.partitionBy("bucket").parquet(d)
+    return spark.read.parquet(d)
+
+
+def test_html_pruned_from_slim_scan(pages_idx):
+    """Frontier-side reads never scan the binary column (F6): the parquet
+    ReadSchema must exclude html when only keys are selected."""
+    plan = _plan(pages_idx.select("bucket", "url_hash", "canon"))
+    assert "html" not in plan, plan
+
+
+def test_fetch_join_broadcasts_batch_not_corpus(spark, pages_idx):
+    keys = spark.createDataFrame(
+        [(i % 4, i, f"http://h{i}.example/") for i in range(10)],
+        "bucket int, url_hash long, canon string",
+    )
+    joined = pages_idx.join(
+        F.broadcast(keys), ["bucket", "url_hash", "canon"], "inner"
+    )
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    # the corpus side streams: no shuffle exchange anywhere in the plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_parquet_filter_pushdown(pages_idx):
+    plan = _plan(pages_idx.filter(F.col("url_hash") == 7).select("canon"))
+    assert "PushedFilters: [" in plan and "url_hash" in plan.split("PushedFilters")[1][:120], plan
+
+
+def test_partition_pruning_on_bucket(pages_idx):
+    plan = _plan(pages_idx.filter(F.col("bucket") == 2).select("canon"))
+    # partition filter appears as a partition filter, not a data filter
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120], plan
+
+
+def _cand(spark):
+    return spark.createDataFrame(
+        [(f"http://h{i%3}.example/p{i}", f"http://h{i%3}.example/p{i}", i,
+          f"h{i%3}.example", 0, 0, i, 0, None, True, 8)
+         for i in range(30)],
+        "url string, canon string, url_hash long, host string, depth int, "
+        "priority int, seq long, discovered_round int, parent_url string, "
+        "allowed boolean, cap int",
+    )
+
+
+def test_budget_window_salted_vs_direct(spark):
+    cfg = CrawlConfig()
+    salted = _plan(label_candidates(_cand(spark), cfg, salt=True))
+    direct = _plan(label_candidates(_cand(spark), cfg, salt=False))
+    # two window exchanges when salted (host+salt then host), one when not
+    # (formatted explain mentions each Window node twice: tree + detail)
+    assert direct.count("Window") == 2, direct
+    assert salted.count("Window") == 2 * direct.count("Window")
+    # identical verdicts either way (the semantic pin behind the switch)
+    a = sorted(
+        (r["url"], r["verdict"])
+        for r in label_candidates(_cand(spark), cfg, salt=True).collect()
+    )
+    b = sorted(
+        (r["url"], r["verdict"])
+        for r in label_candidates(_cand(spark), cfg, salt=False).collect()
+    )
+    assert a == b
+
+
+def test_tpch_pushdown(spark):
+    from sparkcrawl.queries import queries
+
+    df = queries()["tpch_q3"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "c_mktsegment" in plan  # the dimension filter reached the scan
