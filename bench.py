@@ -25,7 +25,8 @@ if _REPO not in sys.path:
 HEADLINE = [
     "tpch_q1", "tpch_q3", "tpch_q5", "perhost_topk", "sessionize",
     "window_hourly", "dedup_exact", "minhash_lsh_pairs", "simhash",
-    "ngram_jaccard", "ann_bruteforce", "embed_norms", "seen_antijoin",
+    "ngram_jaccard", "ann_bruteforce", "embed_neardup", "embed_norms",
+    "seen_antijoin",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))
@@ -40,11 +41,14 @@ def bench_corpus() -> str:
     starvation (the politeness-bound regime is covered by the tests)."""
     from sparkcrawl.synth import generate
 
-    d = f"/tmp/sparkcrawl_bench_corpus_v2_{BENCH_HOSTS}x{BENCH_PPH}"
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = f"{base}/sparkcrawl_bench_corpus_v3_{BENCH_HOSTS}x{BENCH_PPH}"
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         generate(d, seed=42, n_hosts=BENCH_HOSTS, pages_per_host=BENCH_PPH,
-                 n_seeds=BENCH_HOSTS, max_per_round=60)
+                 n_seeds=BENCH_HOSTS, max_per_round=60,
+                 n_links=(30, 50), n_paras=(60, 120),
+                 procs=min(16, os.cpu_count() or 8))
         open(marker, "w").write("ok")
     return d
 

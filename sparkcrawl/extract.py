@@ -19,7 +19,7 @@ from urllib.parse import urljoin
 
 from sparkcrawl.canon import canonicalize_url
 
-__all__ = ["decode_html", "extract_links", "extract_text", "Link"]
+__all__ = ["decode_html", "extract_links", "extract_page", "extract_text", "Link"]
 
 _WS_RE = re.compile(r"\s+")
 _META_CHARSET_RE = re.compile(
@@ -111,20 +111,11 @@ class _LinkParser(HTMLParser):
             self._open_a = None
 
 
-def extract_links(html: bytes, base_url: str) -> list[Link]:
-    """Pinned link extraction (FIXTURES.md §3).
-
-    Document order; first <base href> replaces base_url; urljoin; drop
-    non-http(s), empty, and fragment-only hrefs; anchor text = descendant
-    text, whitespace-collapsed and stripped; per-document uniqueness on the
-    canonical form, first occurrence wins.
-    """
-    parser = _LinkParser()
-    try:
-        parser.feed(decode_html(html))
-        parser.close()
-    except Exception:
-        pass  # malformed HTML: keep whatever was collected
+def _finalize_links(parser, base_url: str) -> list[Link]:
+    """Post-parse link resolution shared by extract_links/extract_page:
+    first <base href> replaces base_url; urljoin; drop non-http(s), empty,
+    and fragment-only hrefs; anchor text whitespace-collapsed; per-document
+    uniqueness on the canonical form, first occurrence wins."""
     base = parser.base_href or base_url
     if parser.base_href is not None:
         base = urljoin(base_url, parser.base_href)
@@ -151,6 +142,18 @@ def extract_links(html: bytes, base_url: str) -> list[Link]:
         text = _WS_RE.sub(" ", "".join(text_parts)).strip()
         out.append(Link(url=absu, text=text, nofollow=nofollow))
     return out
+
+
+def extract_links(html: bytes, base_url: str) -> list[Link]:
+    """Pinned link extraction (FIXTURES.md §3). Document order; see
+    :func:`_finalize_links` for the resolution rules."""
+    parser = _LinkParser()
+    try:
+        parser.feed(decode_html(html))
+        parser.close()
+    except Exception:
+        pass  # malformed HTML: keep whatever was collected
+    return _finalize_links(parser, base_url)
 
 
 class _TextParser(HTMLParser):
@@ -189,3 +192,92 @@ def extract_text(html: bytes) -> str:
     except Exception:
         pass
     return _WS_RE.sub(" ", "".join(parser.parts)).strip()
+
+
+class _PageParser(HTMLParser):
+    """Single-pass union of _LinkParser and _TextParser — the hot-path
+    kernel: HTML is decoded and tokenized ONCE per page instead of once per
+    extractor. Behaviorally identical to running both standalone parsers
+    (equality property-tested in tests/test_extract.py): the link side sees
+    every tag/data event exactly as _LinkParser does (including its default
+    startendtag → starttag+endtag expansion), the text side keeps
+    _TextParser's skip-subtree depth and its no-op startendtag override."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.raw: list[list] = []
+        self.base_href: str | None = None
+        self._open_a: list | None = None
+        self.parts: list[str] = []
+        self._skip_depth = 0
+
+    def _attrs_get(self, attrs, name):
+        for k, v in attrs:
+            if k == name:
+                return v
+        return None
+
+    def _link_start(self, tag, attrs):
+        if tag == "base" and self.base_href is None:
+            href = self._attrs_get(attrs, "href")
+            if href:
+                self.base_href = href.strip()
+        elif tag in ("a", "area"):
+            href = self._attrs_get(attrs, "href")
+            rel = self._attrs_get(attrs, "rel") or ""
+            nofollow = "nofollow" in rel.lower().split()
+            if tag == "area":
+                if href is not None:
+                    self.raw.append([href, [], nofollow])
+            else:
+                if self._open_a is not None:
+                    self.raw.append(self._open_a)
+                self._open_a = [href, [], nofollow] if href is not None else None
+
+    def _link_end(self, tag):
+        if tag == "a" and self._open_a is not None:
+            self.raw.append(self._open_a)
+            self._open_a = None
+
+    def handle_starttag(self, tag, attrs):
+        self._link_start(tag, attrs)
+        if tag in _SKIP_TAGS and tag not in _VOID:
+            self._skip_depth += 1
+
+    def handle_startendtag(self, tag, attrs):
+        # link side: default HTMLParser expansion (start + end);
+        # text side: self-closing skip tag has no subtree → depth untouched
+        self._link_start(tag, attrs)
+        self._link_end(tag)
+
+    def handle_endtag(self, tag):
+        self._link_end(tag)
+        if tag in _SKIP_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._open_a is not None:
+            self._open_a[1].append(data)
+        if self._skip_depth == 0:
+            self.parts.append(data)
+
+    def close(self):
+        super().close()
+        if self._open_a is not None:
+            self.raw.append(self._open_a)
+            self._open_a = None
+
+
+def extract_page(html: bytes, base_url: str) -> tuple[str, list[Link]]:
+    """One-pass (text, links) extraction — semantics identical to
+    ``(extract_text(html), extract_links(html, base_url))`` at ~half the
+    parse cost. Used by the pipeline's fetch stage; the standalone kernels
+    remain the spec (and the oracle's implementation)."""
+    parser = _PageParser()
+    try:
+        parser.feed(decode_html(html))
+        parser.close()
+    except Exception:
+        pass
+    text = _WS_RE.sub(" ", "".join(parser.parts)).strip()
+    return text, _finalize_links(parser, base_url)

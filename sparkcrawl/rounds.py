@@ -62,7 +62,7 @@ from sparkcrawl.seenfilter import (
     sidecar_to_arrow,
 )
 from sparkcrawl.snapstore import SnapStore
-from sparkcrawl.udfs import extract_links_udf, extract_text_udf, robots_allowed_udf
+from sparkcrawl.udfs import extract_page_udf, robots_allowed_udf
 
 METRICS_SCHEMA = _T.StructType(
     [
@@ -265,21 +265,22 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
 
     # --- stages 6-7: fetch = corpus ⨝ broadcast(batch); extraction UDFs ---
     keys = with_bucket(scheduled)
+    # extraction runs in the scan stage itself: hits are hash-uniform across
+    # the bucket-partitioned corpus files, so the Python stage inherits even
+    # scan parallelism with ZERO movement of html bytes (no shuffle, no
+    # broadcast of the fat side). One combined UDF decodes+parses each page
+    # once, and the struct lands in the persisted cache so it can never be
+    # re-evaluated by downstream projections.
     fetched = (
         pages_idx.select("bucket", "url_hash", "canon", "page_url", "html")
         .join(F.broadcast(keys), ["bucket", "url_hash", "canon"], "inner")
-        # re-balance the round's hit batch across the cluster before the
-        # expensive Python stage: without this the extraction UDFs inherit
-        # the scan's partitioning (few tasks when parquet files are small /
-        # skewed when hits cluster). The shuffle moves only the ROUND's html
-        # (≤ round_size pages), never the corpus; url_hash keying keeps
-        # placement deterministic and hash-uniform.
-        .repartition(par, "url_hash")
-        .withColumn("text", extract_text_udf("html"))
-        .withColumn("links", extract_links_udf("html", "page_url"))
+        .withColumn("page", extract_page_udf("html", "page_url"))
         .drop("html")
         .persist()
     )
+    if _prof and os.environ.get("SPARKCRAWL_PROFILE2") == "1":
+        fetched.count()
+        _tick("fetch_extract_only")
     missed = keys.join(
         F.broadcast(fetched.select("bucket", "url_hash", "canon")),
         ["bucket", "url_hash", "canon"],
@@ -299,7 +300,11 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         F.col("drop_reason").isNotNull().asc(), F.col("seq").asc()
     )
     cand0 = (
-        with_bucket(links_to_candidates(fetched, cfg, round_n))
+        with_bucket(
+            links_to_candidates(
+                fetched.withColumn("links", F.col("page.links")), cfg, round_n
+            )
+        )
         .withColumn("_rn", F.row_number().over(w_dup))
     )
     have_sidecar = "seen_filter" in snaps
@@ -376,10 +381,12 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
             "extracted",
             fetched.select(
                 F.lit(round_n).alias("round"), "url", "canon", "url_hash",
-                "text", F.size("links").alias("n_links"), "links",
+                F.col("page.text").alias("text"),
+                F.size("page.links").alias("n_links"),
+                F.col("page.links").alias("links"),
             )
             .observe(ext_obs, F.count(F.lit(1)).alias("n"))
-            .coalesce(16),
+            .coalesce(par),
             parent=snaps.get("extracted"),
         )
 

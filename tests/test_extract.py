@@ -80,3 +80,77 @@ def test_decode_fallback_utf8_replace():
 def test_malformed_html_no_crash():
     assert extract_text(b"<a <b> </zz>< & text") is not None
     assert extract_links(b"<a href=", BASE) == []
+
+
+# --- combined one-pass kernel ≡ the two standalone kernels -------------------
+
+_PAGE_CASES = [
+    b"<html><body><p>hi</p><a href='/x.html'>x</a></body></html>",
+    b"<html><head><base href='http://b.example/dir/'></head>"
+    b"<body><a href='p.html'>rel</a><area href='/a2'>"
+    b"<script>var x='<a href=/fake>no</a>';</script>"
+    b"<a href='http://c.example/q?b=2&a=1'>abs</a>"
+    b"<a href='#frag'>skip</a><a href='mailto:x@y'>skip2</a></body>",
+    b"<a href='/u1'>one<a href='/u2'>two</a>",  # unclosed anchor
+    b"<a href='/dup'>d1</a><a href='/dup#f'>d2</a>",  # canonical dup
+    b"<a href='/nf' rel='NoFollow'>nf</a>",
+    b"<div><style>.x{}</style>text<template><a href='/t'>t</a></template></div>"
+    b"<a href='/ok'/>self-closing",
+    b"\xef\xbb\xbf<html><body>bom <a href='/b'>b</a></body></html>",
+    b"<html><meta charset='latin-1'><body>caf\xe9 <a href='/l'>l</a></body>",
+    b"broken << << <a href= ></a> <a",
+    b"",
+]
+
+
+def test_extract_page_equals_standalone_kernels():
+    from sparkcrawl.extract import extract_page
+
+    base = "http://h.example/d/p.html"
+    for html in _PAGE_CASES:
+        text, links = extract_page(html, base)
+        assert text == extract_text(html), html
+        assert links == extract_links(html, base), html
+
+
+def test_extract_page_equals_on_synth_corpus(tmp_path):
+    """The combined kernel must agree with the standalone kernels on every
+    page of a generated corpus (the same corpora the pipeline crawls)."""
+    import pyarrow.parquet as pq
+
+    from sparkcrawl.extract import extract_page
+    from sparkcrawl.synth import generate
+
+    d = str(tmp_path / "c")
+    generate(d, seed=5, n_hosts=4, pages_per_host=15, n_seeds=2)
+    tab = pq.read_table(f"{d}/pages.parquet")
+    for url, html in zip(tab["url"].to_pylist(), tab["html"].to_pylist()):
+        text, links = extract_page(html, url)
+        assert text == extract_text(html)
+        assert links == extract_links(html, url)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _frag = st.sampled_from(
+        ["<a href='/x'>", "</a>", "<a>", "<script>", "</script>", "<style>",
+         "</style>", "text ", "&amp;", "<base href='http://z.example/'>",
+         "<area href='/ar'>", "<p>", "</p>", "<a href='#f'>", "é",
+         "<a href='/y' rel=nofollow>", "<!-- c -->", "<br/>", "< broken",
+         "<template>", "</template>", "<a href='HTTP://U.EX/P?b=1&a=2'>"]
+    )
+
+    @given(st.lists(_frag, max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def test_extract_page_equivalence_property(frags):
+        from sparkcrawl.extract import extract_page
+
+        html = "".join(frags).encode("utf-8")
+        base = "http://h.example/q/"
+        text, links = extract_page(html, base)
+        assert text == extract_text(html)
+        assert links == extract_links(html, base)
+except ImportError:  # pragma: no cover
+    pass
