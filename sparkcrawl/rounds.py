@@ -118,7 +118,14 @@ def prepare_pages(spark: SparkSession, store: SnapStore, pages_path: str) -> int
             "html", "warc_ts", "lang",
         )
     )
-    return store.overwrite("pages_idx", idx, partition_by=["bucket"])
+    # small parquet row groups: extraction parallelism is bounded by scan
+    # splits, and splits cannot cross row-group boundaries — the default
+    # 128 MB block gives ONE row group per bucket file (unsplittable → task
+    # count stuck at N_BUCKETS no matter the cluster size)
+    return store.overwrite(
+        "pages_idx", idx, partition_by=["bucket"],
+        options={"parquet.block.size": str(8 * 1024 * 1024)},
+    )
 
 
 def init_crawl(spark: SparkSession, store: SnapStore, seeds_path: str,
@@ -307,42 +314,54 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         )
         .withColumn("_rn", F.row_number().over(w_dup))
     )
+    # Only rank-1 viable rows ever consult the seen set: a dropped row's
+    # status is its drop reason and an in-batch duplicate's status is
+    # dup_in_batch regardless of seen membership, so both label WITHOUT any
+    # join. This shrinks the dedup join's probe side from all exploded links
+    # (batch dup rate on real crawls is huge) to the batch's distinct viable
+    # canons — and makes its inputs small enough that the join strategy is
+    # stable instead of flapping between broadcast and SMJ on AQE stats.
+    cand0 = cand0.persist()
+    dropped_part = cand0.filter(F.col("drop_reason").isNotNull()).withColumn(
+        "status", F.concat(F.lower(F.col("drop_reason")), F.lit("_dropped"))
+    )
+    dup_part = cand0.filter(
+        F.col("drop_reason").isNull() & (F.col("_rn") > 1)
+    ).withColumn("status", F.lit("dup_in_batch"))
+    rank1 = cand0.filter(F.col("drop_reason").isNull() & (F.col("_rn") == 1))
+
     have_sidecar = "seen_filter" in snaps
     if use_bloom and have_sidecar:
         old_blobs = sidecar_from_arrow(
             store.read_local("seen_filter", snaps["seen_filter"])
         )
         probe = make_probe_udf(spark, old_blobs)
-        cand0 = cand0.withColumn("_maybe", probe("bucket", "url_hash")).persist()
         # exact check ONLY for bloom-positive rows: broadcast their keys to
         # stream (never shuffle) the seen scan, broadcast the confirmed dups
-        # back. cand0 is cached, so the broadcast subquery materializes it
+        # back. cand0 is cached, so the broadcast subqueries materialize it
         # once and the outer join reuses it.
-        maybe_keys = cand0.filter(F.col("_maybe")).select("bucket", "url_hash", "canon")
+        rank1 = rank1.withColumn("_maybe", probe("bucket", "url_hash"))
+        maybe_keys = rank1.filter(F.col("_maybe")).select("bucket", "url_hash", "canon")
         seen_hits = seen_keys.join(
             F.broadcast(maybe_keys), ["bucket", "url_hash", "canon"], "left_semi"
         ).withColumn("_seen", F.lit(True))
-        labeled = cand0.join(
+        labeled1 = rank1.join(
             F.broadcast(seen_hits), ["bucket", "url_hash", "canon"], "left"
         )
     else:
-        labeled = cand0.join(
+        labeled1 = rank1.join(
             seen_keys.withColumn("_seen", F.lit(True)),
             ["bucket", "url_hash", "canon"],
             "left",
         )
+    labeled1 = labeled1.withColumn(
+        "status",
+        F.when(F.col("_seen").isNotNull(), "dedup_dropped").otherwise("enqueued"),
+    )
     linkwork = (
-        labeled.withColumn(
-            "status",
-            F.when(
-                F.col("drop_reason").isNotNull(),
-                F.concat(F.lower(F.col("drop_reason")), F.lit("_dropped")),
-            )
-            .when(F.col("_rn") > 1, "dup_in_batch")
-            .when(F.col("_seen").isNotNull(), "dedup_dropped")
-            .otherwise("enqueued"),
-        )
-        .select(*FRONTIER_COLS, "bucket", "status")
+        dropped_part.select(*FRONTIER_COLS, "bucket", "status")
+        .unionByName(dup_part.select(*FRONTIER_COLS, "bucket", "status"))
+        .unionByName(labeled1.select(*FRONTIER_COLS, "bucket", "status"))
         .persist()
     )
     link_counts = _verdict_counts(linkwork, "status")

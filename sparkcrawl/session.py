@@ -37,6 +37,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html:binary rows are fat — cap Arrow batch size for UDF stages
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # extraction runs INSIDE the corpus scan stage (no shuffle of html),
+        # so scan splits bound its parallelism. The default 128 MB bin-packs
+        # a compressed corpus into far fewer tasks than cores — right for
+        # IO-bound scans, wrong when each input byte costs ~1 ms/KB of
+        # Python. 16 MB splits keep every core fed; on a real cluster size
+        # this to corpus_bytes / (4 × total_cores).
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARKCRAWL_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")

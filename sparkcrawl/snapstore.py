@@ -69,18 +69,21 @@ class SnapStore:
 
     # ----- commit -----
     def _write_data(self, table: str, df: DataFrame, snap_id: int,
-                    partition_by: list[str] | None) -> str:
+                    partition_by: list[str] | None,
+                    options: dict | None = None) -> str:
         rel = os.path.join("data", "%08d-%s" % (snap_id, uuid.uuid4().hex[:8]))
         path = os.path.join(self._tdir(table), rel)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
         w.parquet(path)
         return rel
 
     def _commit(self, table: str, df: DataFrame, mode: str,
                 partition_by: list[str] | None = None, meta: dict | None = None,
-                parent: int | str = "latest") -> int:
+                parent: int | str = "latest", options: dict | None = None) -> int:
         """Write data + snapshot manifest. ``parent`` pins the snapshot an
         append chains from (and overwrite supersedes): pass the id recorded in
         the last committed ROUND manifest so that snapshots written by a
@@ -91,7 +94,7 @@ class SnapStore:
         if parent == "latest":
             parent = self.latest(table)
         snap_id = (self.latest(table) or 0) + 1
-        rel = self._write_data(table, df, snap_id, partition_by)
+        rel = self._write_data(table, df, snap_id, partition_by, options)
         files = [rel]
         if mode == "append" and parent is not None:
             files = self._load_manifest(table, parent)["files"] + files
@@ -174,8 +177,10 @@ class SnapStore:
             raise FileNotFoundError(f"table {table!r} snapshot {snap_id} empty")
         return pa.concat_tables(tabs)
 
-    def overwrite(self, table: str, df: DataFrame, partition_by=None, meta=None) -> int:
-        return self._commit(table, df, "overwrite", partition_by, meta)
+    def overwrite(self, table: str, df: DataFrame, partition_by=None, meta=None,
+                  options: dict | None = None) -> int:
+        return self._commit(table, df, "overwrite", partition_by, meta,
+                            options=options)
 
     # ----- read -----
     def read(self, spark: SparkSession, table: str,
