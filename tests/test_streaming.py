@@ -80,3 +80,29 @@ def test_checkpoint_resume_no_reprocess(spark, pages_dir, tmp_path_factory):
     assert first > 0
     # same checkpoint, new run: all files already committed → zero new rows
     assert drain() == first
+
+
+def test_stateful_host_progress(spark, pages_dir, tmp_path_factory):
+    from sparkcrawl.streaming import stateful_host_progress
+
+    ck = str(tmp_path_factory.mktemp("ck_state"))
+    stream = stateful_host_progress(read_pages_stream(spark, pages_dir))
+    rows = run_available_now(stream, ck, "state_sink", output_mode="update")
+    # last emitted update per host carries the cumulative totals
+    final = {}
+    for r in rows:
+        cur = final.get(r["host"])
+        if cur is None or r["batches_seen"] >= cur["batches_seen"]:
+            final[r["host"]] = r
+    want = {
+        r["host"]: r["n"]
+        for r in (
+            spark.read.parquet(pages_dir)
+            .groupBy(F.expr("parse_url(url, 'HOST')").alias("host"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    got = {h: r["total_pages"] for h, r in final.items()}
+    assert got == want
+    assert all(r["last_ts"] is not None for r in final.values())
