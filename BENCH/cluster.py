@@ -167,6 +167,9 @@ def main() -> None:
     ap.add_argument("--round-size", type=int, default=500_000)
     ap.add_argument("--rounds", type=int, default=10)
     ap.add_argument("--budget", type=int, default=2000)
+    ap.add_argument("--paras", type=int, nargs=2, default=[150, 250],
+                    help="paragraphs per page; (150,250) ≈ 20 KB html — "
+                         "still light vs the 50-100 KB real-web average")
     ap.add_argument("--levels", type=int, nargs=2, default=[1, 4])
     args = ap.parse_args()
 
@@ -174,14 +177,16 @@ def main() -> None:
     from sparkcrawl.synth import generate
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    corpus = f"{base}/sparkcrawl_scaling_corpus_{args.hosts}x{args.pph}"
+    corpus = (f"{base}/sparkcrawl_scaling_corpus_{args.hosts}x{args.pph}"
+              f"p{args.paras[1]}")
     marker = os.path.join(corpus, "_DONE")
     if not os.path.exists(marker):
         print(f"generating corpus {args.hosts}x{args.pph} ...", flush=True)
         info = generate(
             corpus, seed=42, n_hosts=args.hosts, pages_per_host=args.pph,
             n_seeds=args.hosts, max_per_round=args.budget,
-            n_links=(30, 50), n_paras=(60, 120), procs=min(16, os.cpu_count() or 8),
+            n_links=(30, 50), n_paras=tuple(args.paras),
+            procs=min(16, os.cpu_count() or 8),
         )
         print(info, flush=True)
         open(marker, "w").write("ok")
@@ -220,7 +225,8 @@ Spark **standalone cluster** on localhost: {lo} vs {hi} worker JVMs, each
 unpinned, standing in for a separate driver node). Shipped exactly as the
 north rule requires: `spark-submit --master spark://… --py-files
 sparkcrawl.zip`. Input: {args.hosts} hosts × {args.pph} pages,
-Common-Crawl-ish ~9 KB pages, every host seeded, budget
+n_paras={args.paras} (~20 KB html — still light vs the 50-100 KB real-web
+average), every host seeded, budget
 {args.budget}/host/round, round_size={args.round_size}, corpus + spark
 scratch on tmpfs. Two identical crawls per cluster; the SECOND is measured
 (steady state of a long-running crawl — warm JIT, warm Arrow worker pools);
