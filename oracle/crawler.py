@@ -23,9 +23,11 @@ Round algorithm (THE pin; sparkcrawl/rounds.py mirrors it stage by stage):
      keep first max_per_round; rest stay QUEUED.
   5. global order (priority DESC, seq ASC), cap at round_size → scheduled.
   6. fetch = lookup by canonical url in the pages corpus; miss → ERROR.
-  7. extract text + links (pinned kernels); per-link:
-       depth=parent+1 ≤ depth_limit; url length/scheme guards; offsite
-       filter vs allowed_domains; optional nofollow drop;
+  7. extract text + links (pinned kernels); per-link, pinned drop order
+       NOFOLLOW → DEPTH → URL_GUARD → EXT → REGEX → OFFSITE:
+       depth=parent+1 ≤ depth_limit; url length/scheme guards;
+       deny_extensions + allow/deny regex on the canonical url (F4,
+       CrawlConfig.link_filter_reason); offsite filter vs allowed_domains;
        priority = parent_priority - depth*depth_priority;
        seq = xxh64(str(parent_seq) + '\\x00' + canon) (Spark-parity hash).
   8. batch dedup: per canonical url keep the min-seq row (order-free rule —
@@ -75,9 +77,16 @@ class OracleResult:
 
 def load_corpus(corpus_dir: str):
     pages_t = pq.read_table(os.path.join(corpus_dir, "pages.parquet"))
+    lats = (
+        pages_t["latency_ms"].to_pylist()
+        if "latency_ms" in pages_t.column_names
+        else [1000] * pages_t.num_rows  # pinned default, matches prepare_pages
+    )
     pages = {}
-    for url, html in zip(pages_t["url"].to_pylist(), pages_t["html"].to_pylist()):
-        pages[canonicalize_url(url)] = (url, html)
+    for url, html, lat in zip(
+        pages_t["url"].to_pylist(), pages_t["html"].to_pylist(), lats
+    ):
+        pages[canonicalize_url(url)] = (url, html, int(lat))
     seeds_t = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
     seeds = list(zip(seeds_t["url"].to_pylist(), seeds_t["priority"].to_pylist()))
     robots = {}
@@ -116,6 +125,7 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
         res.seen.add(canon)
 
     robots_known: dict[str, tuple[int | None, str | None]] = {}
+    lat_ewma: dict[str, int] = {}  # host → integer latency EWMA (P4)
 
     for rnd in range(cfg.max_rounds):
         queued = [r for r in res.frontier.values() if r.state == "QUEUED"]
@@ -126,7 +136,8 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
             "robots_deferred": 0, "robots_denied": 0, "budget_deferred": 0,
             "cap_deferred": 0, "scheduled": 0, "fetched": 0, "fetch_miss": 0,
             "links_extracted": 0, "depth_dropped": 0, "offsite_dropped": 0,
-            "nofollow_dropped": 0, "dup_in_batch": 0, "dedup_dropped": 0,
+            "nofollow_dropped": 0, "ext_dropped": 0, "regex_dropped": 0,
+            "dup_in_batch": 0, "dedup_dropped": 0,
             "enqueued": 0,
         }
 
@@ -161,6 +172,9 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
         for h, rows in by_host.items():
             rows.sort(key=lambda r: (-r.priority, r.seq))
             cap = budget.get(h, cfg.max_per_round_default)
+            if cfg.adaptive_budget and h in lat_ewma:
+                # P4 AutoThrottle analogue (pinned integer formula)
+                cap = cfg.adaptive_cap(lat_ewma[h], cap)
             budgeted.extend(rows[:cap])
             m["budget_deferred"] += max(0, len(rows) - cap)
 
@@ -173,15 +187,19 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
 
         # stages 6-7: fetch + extract
         new_links: list[FrontierRow] = []
+        lat_obs: dict[str, list[int]] = {}  # host → [sum_ms, n]
         for r in scheduled:
             hit = pages.get(r.canon)
             if hit is None:
                 r.state = "ERROR"
                 m["fetch_miss"] += 1
                 continue
-            page_url, html = hit
+            page_url, html, lat_ms = hit
             r.state = "FETCHED"
             m["fetched"] += 1
+            acc = lat_obs.setdefault(r.host, [0, 0])
+            acc[0] += lat_ms
+            acc[1] += 1
             res.text[r.canon] = extract_text(html)
             links = extract_links(html, page_url)
             m["links_extracted"] += len(links)
@@ -198,6 +216,12 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
                 ):
                     continue
                 canon = canonicalize_url(lk.url)
+                # F4 allow/deny regex + deny_extensions (pinned order:
+                # … URL_GUARD → EXT → REGEX → OFFSITE)
+                f4 = cfg.link_filter_reason(canon)
+                if f4 is not None:
+                    m[f"{f4.lower()}_dropped"] += 1
+                    continue
                 host = url_host(canon)
                 if not cfg.host_allowed(host):
                     m["offsite_dropped"] += 1
@@ -225,6 +249,12 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
             res.seen.add(canon)
             res.frontier[canon] = row
             m["enqueued"] += 1
+
+        # P4: fold this round's per-host observations into the EWMA (affects
+        # the NEXT round's caps, like the pipeline's host_lat table)
+        for h, (s, n) in lat_obs.items():
+            obs = s // n
+            lat_ewma[h] = obs if h not in lat_ewma else (obs + lat_ewma[h]) // 2
 
         res.metrics.append(m)
 

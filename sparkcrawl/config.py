@@ -7,7 +7,28 @@ for determinism — FIXTURES.md §3/§4.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+
+# Scrapy-style IGNORED_EXTENSIONS (public default list, scrapy/linkextractors/
+# __init__.py upstream): binary/media/office suffixes a text crawl never
+# follows. ~50 suffixes; the single most-used link filter in practice.
+IGNORED_EXTENSIONS: tuple[str, ...] = (
+    # archives
+    "7z", "7zip", "apk", "bz2", "cdr", "dmg", "gz", "iso", "jar", "rar",
+    "tar", "tgz", "zip", "xz",
+    # images
+    "bmp", "gif", "ico", "jpeg", "jpg", "mng", "pct", "png", "pst", "psp",
+    "tif", "tiff", "ai", "drw", "dxf", "eps", "ps", "svg", "webp",
+    # audio
+    "mp3", "wma", "ogg", "wav", "ra", "aac", "mid", "au", "aiff", "m4a",
+    # video
+    "3gp", "asf", "asx", "avi", "mov", "mp4", "mpg", "qt", "rm", "swf",
+    "wmv", "m4v", "flv", "webm",
+    # office / other
+    "css", "pdf", "doc", "docx", "exe", "bin", "rss", "odt", "xls", "xlsx",
+    "ppt", "pptx",
+)
 
 
 @dataclass(frozen=True)
@@ -21,7 +42,31 @@ class CrawlConfig:
     respect_nofollow: bool = True
     url_length_limit: int = 2083    # URLLENGTH_LIMIT
     allowed_domains: tuple[str, ...] | None = None  # None → allow all (offsite off)
+    # --- F4 LinkExtractor allow/deny (SURVEY.md §2.2) ---
+    # Patterns are unanchored regex (re.search / Spark rlike — stay in the
+    # Java∩Python regex subset) applied to the CANONICAL url; pinned drop
+    # order: NOFOLLOW → DEPTH → URL_GUARD → EXT → REGEX → OFFSITE.
+    allow_patterns: tuple[str, ...] | None = None   # keep only links matching ANY
+    deny_patterns: tuple[str, ...] = ()             # drop links matching ANY
+    deny_extensions: tuple[str, ...] = IGNORED_EXTENSIONS  # () disables
     seed: int = 42
+    # --- P4/A3 adaptive per-host budget (AutoThrottle analogue) ---
+    # When on, round N+1's per-host cap derives from a latency EWMA over the
+    # per-round host_lat table (rounds discretize time — SURVEY.md §2.4 P4).
+    # ALL arithmetic is pinned integer (α = 1/2) so the distributed pipeline
+    # and the single-process oracle agree bit-exactly (float EWMAs would
+    # diverge on summation order):
+    #   obs_N  = sum(latency_ms of host's fetched pages) DIV n_fetched
+    #   ewma_N = (obs_N + ewma_{N-1}) DIV 2          (first obs: ewma = obs)
+    #   cap    = clamp(target_ms DIV max(ewma, 1), 1, cap_static)
+    # The corpus stands in for the network, so page latency is corpus data
+    # (pages.latency_ms, deterministic in synth.py).
+    adaptive_budget: bool = False
+    autothrottle_target_ms: int = 1000
+
+    def adaptive_cap(self, ewma_ms: int, cap_static: int) -> int:
+        """Pinned cap formula (oracle side; rounds.py mirrors it in SQL)."""
+        return max(1, min(cap_static, self.autothrottle_target_ms // max(ewma_ms, 1)))
     # --- D2 bloom prefilter sidecar (SURVEY.md §2.3) ---
     # Probabilistic per-bucket URL-seen filters prune the exact dedup join's
     # probe volume; semantics never depend on them (no false negatives by
@@ -29,8 +74,24 @@ class CrawlConfig:
     # for sandbox corpora — at the 10^10-URL design point raise bits/bucket
     # (and N_BUCKETS) so each blob holds ~n_keys/bucket at ~1% FPP.
     dedup_bloom: bool = True
-    bloom_bits_per_bucket: int = 1 << 17   # 16 KiB/bucket, 32 buckets
+    bloom_bits_per_bucket: int = 1 << 17   # 16 KiB/bucket at n_buckets=32
     bloom_k: int = 7
+    # --- layout knobs (promoted from frontier.py module constants, r1 #9) ---
+    # n_buckets: url_hash bucket count for the seen/pages hive layout; scale
+    # with the corpus so each bucket's bloom blob holds ~n_keys/n_buckets at
+    # ~1% FPP (≈ 10 bits/key: 10^10 keys → n_buckets·bits_per_bucket ≈
+    # 1.2 GB total, e.g. n_buckets=4096 × 32 MiB blobs).
+    # salt_n: salt fan-out for the hot-host budget window (P5) — bound the
+    # biggest single host's queue to ~rows_per_task × salt_n.
+    n_buckets: int = 32
+    salt_n: int = 16
+    # Dedup broadcast guard (r1 #7): the bloom path broadcasts maybe-seen
+    # keys + confirmed hits; on real crawls most links are dups, so that
+    # broadcast grows with the round's duplicate-candidate count. Past this
+    # many viable link rows the round falls back to the co-partitioned
+    # shuffle join (same verdicts, property-tested) instead of broadcasting.
+    # ~2M keys ≈ 60 MB serialized — a sane executor-memory budget.
+    dedup_broadcast_max: int = 2_000_000
     # Strategy threshold: while the seen set is below this many keys the
     # exact dedup join runs directly (Spark/AQE broadcasts the small seen
     # side — fewer stages per round); past it, the bloom probe + broadcast
@@ -48,3 +109,32 @@ class CrawlConfig:
         if self.allowed_domains is None:
             return True
         return any(host == d or host.endswith("." + d) for d in self.allowed_domains)
+
+    # --- F4 pinned kernels (oracle side; frontier.py mirrors them as native
+    # Spark SQL regex on the same strings — keep the regexes identical) ---
+
+    # path of a canonical url: everything between authority and '?'/'#'
+    # (canon has no fragment, but the pin tolerates one)
+    PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+    def ext_deny_regex(self) -> str | None:
+        """Regex matching a denied extension at the end of the url path."""
+        if not self.deny_extensions:
+            return None
+        return r"\.(" + "|".join(self.deny_extensions) + r")$"
+
+    def link_filter_reason(self, canon: str) -> str | None:
+        """EXT / REGEX drop verdict for a canonical url (None = keep)."""
+        ext_re = self.ext_deny_regex()
+        if ext_re is not None:
+            m = re.search(self.PATH_RE, canon)
+            path = m.group(1) if m else ""
+            if re.search(ext_re, path.lower()):
+                return "EXT"
+        if self.allow_patterns is not None and not any(
+            re.search(p, canon) for p in self.allow_patterns
+        ):
+            return "REGEX"
+        if any(re.search(p, canon) for p in self.deny_patterns):
+            return "REGEX"
+        return None

@@ -53,7 +53,7 @@ def run_crawl(
             "or use a fresh store (seen is append-only — re-init would corrupt it)"
         )
     if not resume or not store.committed_rounds():
-        prepare_pages(spark, store, os.path.join(corpus_dir, "pages.parquet"))
+        prepare_pages(spark, store, os.path.join(corpus_dir, "pages.parquet"), cfg)
         robots_path = os.path.join(corpus_dir, "robots.parquet")
         if os.path.exists(robots_path):
             store.overwrite("robots_corpus", spark.read.parquet(robots_path))
@@ -114,6 +114,11 @@ def main() -> None:
     ap.add_argument("--no-robots", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--export", metavar="FMT:DIR",
+        help="after the crawl, export the extracted table (S6 feed export): "
+             "FMT is jsonl or csv, e.g. --export jsonl:/tmp/out",
+    )
     args = ap.parse_args()
 
     cfg = CrawlConfig(
@@ -134,6 +139,12 @@ def main() -> None:
             f"done: rounds={len(summaries)} scheduled={total_sched} "
             f"throughput={total_sched / (total_ms / 1000):.1f} urls/s"
         )
+        if args.export:
+            from sparkcrawl.export import export_extracted
+
+            fmt, out = args.export.split(":", 1)
+            n = export_extracted(spark, SnapStore(args.store_dir), out, fmt)
+            print(f"exported {n} rows to {out} ({fmt})")
     finally:
         spark.stop()
 

@@ -20,7 +20,10 @@ from pyspark.sql import types as T
 from sparkcrawl.config import CrawlConfig
 from sparkcrawl.udfs import canonicalize_udf, host_udf
 
-N_BUCKETS = 32   # url_hash bucket count for seen/pages layout (pin per deploy)
+# Module defaults for the layout knobs; per-deploy values live on
+# CrawlConfig (n_buckets / salt_n) and are threaded through rounds.py —
+# the sidecar-sizing math in config.py assumes they scale with the corpus.
+N_BUCKETS = 32   # url_hash bucket count for seen/pages layout
 SALT_N = 16      # salt fan-out for the hot-host budget window (P5)
 
 FRONTIER_SCHEMA = T.StructType(
@@ -40,8 +43,10 @@ FRONTIER_SCHEMA = T.StructType(
 FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
 
 
-def with_bucket(df: DataFrame, col: str = "url_hash") -> DataFrame:
-    return df.withColumn("bucket", F.pmod(F.col(col), F.lit(N_BUCKETS)).cast("int"))
+def with_bucket(
+    df: DataFrame, col: str = "url_hash", n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.col(col), F.lit(n_buckets)).cast("int"))
 
 
 def canonicalized(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -94,7 +99,7 @@ def label_candidates(cand: DataFrame, cfg: CrawlConfig, salt: bool = True) -> Da
     order = [F.col("priority").desc(), F.col("seq").asc()]
     if salt:
         salted = cand.withColumn(
-            "_salt", F.pmod(F.col("url_hash"), F.lit(SALT_N)).cast("int")
+            "_salt", F.pmod(F.col("url_hash"), F.lit(cfg.salt_n)).cast("int")
         )
         w1 = Window.partitionBy("host", "_salt").orderBy(
             F.col("allowed").desc_nulls_last(), *order
@@ -152,6 +157,23 @@ def links_to_candidates(fetched: DataFrame, cfg: CrawlConfig, round_n: int) -> D
         host_ok = conds[0]
         for c in conds[1:]:
             host_ok = host_ok | c
+    # F4 allow/deny regex + deny_extensions: native rlike on the canonical
+    # url — same regexes the oracle applies in CrawlConfig.link_filter_reason
+    # (Java∩Python regex subset, pinned there). All JVM-side; no UDF.
+    ext_re = cfg.ext_deny_regex()
+    if ext_re is None:
+        ext_bad = F.lit(False)
+    else:
+        path = F.regexp_extract(F.col("canon"), CrawlConfig.PATH_RE, 1)
+        ext_bad = F.lower(path).rlike(ext_re)
+    regex_bad = F.lit(False)
+    if cfg.allow_patterns is not None:
+        allow_ok = F.lit(False)
+        for p in cfg.allow_patterns:
+            allow_ok = allow_ok | F.col("canon").rlike(p)
+        regex_bad = regex_bad | ~allow_ok
+    for p in cfg.deny_patterns:
+        regex_bad = regex_bad | F.col("canon").rlike(p)
     drop = (
         F.when(F.col("nofollow") & F.lit(cfg.respect_nofollow), "NOFOLLOW")
         .when(depth > cfg.depth_limit, "DEPTH")
@@ -160,6 +182,8 @@ def links_to_candidates(fetched: DataFrame, cfg: CrawlConfig, round_n: int) -> D
             | ~F.col("url").rlike("^https?://"),
             "URL_GUARD",
         )
+        .when(ext_bad, "EXT")
+        .when(regex_bad, "REGEX")
         .when(~host_ok, "OFFSITE")
         .otherwise(F.lit(None))
     )

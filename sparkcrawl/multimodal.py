@@ -134,14 +134,18 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     the pluggable kernel above. Demonstrates the explode-based fan-out shape
     (row per frame) used by real frame pipelines."""
     return (
-        df.filter(F.col("media.media_type") == "video")
+        df.filter(
+            (F.col("media.media_type") == "video")
+            # decode failures (duration null / decode_error set) are excluded
+            # from the sampling plan — they must not emit a phantom ts-0 frame
+            & F.col("media.decode_error").isNull()
+            & F.col("media.duration_ms").isNotNull()
+        )
         .withColumn(
             "frame_ts_ms",
             F.explode(
                 F.sequence(
-                    F.lit(0),
-                    F.coalesce(F.col("media.duration_ms"), F.lit(0)),
-                    F.lit(every_ms),
+                    F.lit(0), F.col("media.duration_ms"), F.lit(every_ms)
                 )
             ),
         )

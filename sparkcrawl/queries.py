@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -329,7 +331,12 @@ def _q_minhash_signatures(engine: str) -> str:
 
 
 def _q_minhash_lsh_pairs(engine: str) -> str:
-    # LSH banding (2 bands × 4 rows) over the signatures → candidate pairs
+    # LSH banding (2 bands × 4 rows) over the signatures → candidate pairs.
+    # Per-band EQUI-joins (UNION dedups): each band hash-partitions on its
+    # band hash and scales linearly in bucket occupancy. The round-1 OR-join
+    # (`a.b0 = b.b0 OR a.b1 = b.b1`) forced a BroadcastNestedLoopJoin —
+    # O(n²) comparisons, 13.3 s at sf0.1 — because a disjunction cannot
+    # hash-partition.
     sig = _q_minhash_signatures(engine)
     return f"""
       WITH sigs AS ({sig}),
@@ -340,9 +347,13 @@ def _q_minhash_lsh_pairs(engine: str) -> str:
                md5(CAST(sig4 AS STRING)||','||CAST(sig5 AS STRING)||','||
                    CAST(sig6 AS STRING)||','||CAST(sig7 AS STRING)) AS b1
         FROM sigs)
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b
-        ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+      ) u
     """
 
 
@@ -370,21 +381,52 @@ def _q_simhash(engine: str) -> str:
 
 
 def _q_ngram_jaccard(engine: str) -> str:
-    # n-gram (unigram-set) Jaccard near-dup over same-(lang,source) blocks
+    # n-gram Jaccard near-dup, LSH-candidate shape (the 100 TB path):
+    # candidates come from MinHash banding (4 bands × 2 rows over the 8
+    # signatures — every join an EQUI-join on a band hash), then exact
+    # Jaccard is computed on candidate pairs ONLY. Round 1 compared all
+    # pairs within (lang, source) blocks — correct but quadratic per block,
+    # a scale-killer on a skewed block. Banding recall at the 0.6 threshold
+    # is 1-(1-0.6²)⁴ ≈ 0.83 and →1 for truly-near duplicates (j ≥ 0.8:
+    # 0.98); candidate volume is linear in band-bucket occupancy. Docs with
+    # <3 tokens cannot shingle and are excluded (same guard as the
+    # signatures query).
+    sig = _q_minhash_signatures(engine)
+    # exact-verify the SAME measure the sketch estimates: Jaccard over the
+    # word-3-gram shingle sets (round 1 verified unigram Jaccard — a
+    # different measure than the MinHash sketch, so banding couldn't gate it)
+    sh = _shingles(engine)
     if engine == "spark":
-        toks = "array_distinct(split(text, ' '))"
+        toks = f"array_distinct({sh})"
         inter = "size(array_intersect(a.toks, b.toks))"
         uni = "size(array_union(a.toks, b.toks))"
     else:
-        toks = "list_distinct(string_split(text, ' '))"
+        toks = f"list_distinct({sh})"
         inter = "len(list_intersect(a.toks, b.toks))"
         uni = "len(list_distinct(list_concat(a.toks, b.toks)))"
+    bands = {
+        f"c{j}": f"md5(CAST(sig{2*j} AS STRING)||','||CAST(sig{2*j+1} AS STRING))"
+        for j in range(4)
+    }
+    band_cols = ", ".join(f"{expr} AS {name}" for name, expr in bands.items())
+    cand_union = "\n        UNION\n".join(
+        f"        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b\n"
+        f"        FROM banded x JOIN banded y ON x.c{j} = y.c{j} AND x.doc_id < y.doc_id"
+        for j in range(4)
+    )
     return f"""
-      WITH d AS (SELECT doc_id, lang, source, {toks} AS toks FROM documents)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      WITH sigs AS ({sig}),
+      banded AS (SELECT doc_id, {band_cols} FROM sigs),
+      cand AS (
+{cand_union}
+      ),
+      d AS (SELECT doc_id, {toks} AS toks FROM documents
+            WHERE length(text) - length(replace(text, ' ', '')) >= 2)
+      SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
              ROUND(CAST({inter} AS DOUBLE) / CAST({uni} AS DOUBLE), 6) AS jaccard
-      FROM d a JOIN d b
-        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      FROM cand c
+      JOIN d a ON a.doc_id = c.doc_a
+      JOIN d b ON b.doc_id = c.doc_b
       WHERE CAST({inter} AS DOUBLE) / CAST({uni} AS DOUBLE) >= 0.6
     """
 
@@ -452,16 +494,85 @@ def _q_ann_ivf(engine: str) -> str:
     """
 
 
+_HP_BANDS = 8       # LSH bands over the hyperplane sketch
+_HP_BITS = 4        # bits (hyperplanes) per band — the bucket-occupancy knob
+_EMB_DIM = 64
+
+
+def _hp_weights() -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix (_HP_BANDS×_HP_BITS rows ×
+    _EMB_DIM cols) from md5 — no runtime randomness, identical literals land
+    in both engines' SQL."""
+    import hashlib
+
+    rows = []
+    for k in range(_HP_BANDS * _HP_BITS):
+        row = []
+        for i in range(_EMB_DIM):
+            h = hashlib.md5(f"hp:{k}:{i}".encode()).digest()
+            row.append(1.0 if h[0] % 2 == 0 else -1.0)
+        rows.append(row)
+    return rows
+
+
 def _q_embed_neardup(engine: str) -> str:
-    # embedding-cosine near-duplicate detection: label-blocked self-join
-    # (IVF-style blocking keeps the candidate set linear in cluster size —
-    # the 100 TB path replaces the block key with LSH bucket ids)
+    # Embedding-cosine near-dup, signed-random-projection LSH shape (the
+    # 100 TB path): a 32-bit hyperplane sketch per vector, banded 8×4; every
+    # candidate join is an EQUI-join on (band value), exact cosine runs on
+    # candidate pairs ONLY. Round 1 compared all pairs within label blocks —
+    # correct but quadratic per block (skewed label = scale-killer).
+    # Recall = 1-(1-p^4)^8 with p = 1-θ/π: ≈0.66 at the corpus-forced 0.30
+    # threshold (synthetic isotropic vectors have no true near-dups, max
+    # pairwise cos ≈ 0.51), ≥0.99 at production near-dup thresholds
+    # (cos ≥ 0.85). Widen _HP_BITS as corpus size grows to hold bucket
+    # occupancy (and thus candidate volume) sub-quadratic.
+    # Sketch computation is engine-split on FORM, identical on ARITHMETIC:
+    # DuckDB evaluates the literal weight sums as a left fold over dims;
+    # Spark computes the same sums in a vectorized pandas UDF whose numpy
+    # accumulation loops over dims in the same order (elementwise adds are
+    # IEEE-exact, so the fold is bit-identical). A literal-SQL sketch on the
+    # Spark side was correct too but compiled 2048 terms into a ~6.5 MiB
+    # task binary and ~9 s of plan/codegen time. ROUND(…, 6) before the sign
+    # is insurance against a last-ulp divergence.
+    if engine == "spark":
+        band_cols = ", ".join(f"bands[{j}] AS b{j}" for j in range(_HP_BANDS))
+        sk_cte = (
+            "sk0 AS (SELECT vec_id, hp_bands(embedding) AS bands FROM embeddings),\n"
+            f"      sk AS (SELECT vec_id, {band_cols} FROM sk0)"
+        )
+    else:
+        W = _hp_weights()
+
+        def bit(k: int) -> str:
+            terms = " + ".join(
+                f"({W[k][i]:+.1f})*CAST(embedding[{i + 1}] AS DOUBLE)"
+                for i in range(_EMB_DIM)
+            )
+            return f"(CASE WHEN ROUND({terms}, 6) > 0 THEN 1 ELSE 0 END)"
+
+        band_cols = ", ".join(
+            "CAST("
+            + " + ".join(f"{bit(j * _HP_BITS + r)}*{1 << r}" for r in range(_HP_BITS))
+            + f" AS BIGINT) AS b{j}"
+            for j in range(_HP_BANDS)
+        )
+        sk_cte = f"sk AS (SELECT vec_id, {band_cols} FROM embeddings)"
+    cand_union = "\n        UNION\n".join(
+        f"        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b\n"
+        f"        FROM sk x JOIN sk y ON x.b{j} = y.b{j} AND x.vec_id < y.vec_id"
+        for j in range(_HP_BANDS)
+    )
     cos = _cosine(engine, "a.embedding", "b.embedding")
     return f"""
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      WITH {sk_cte},
+      cand AS (
+{cand_union}
+      )
+      SELECT c.vec_a AS vec_a, c.vec_b AS vec_b,
              ROUND({cos}, 6) AS cos
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.vec_a
+      JOIN embeddings b ON b.vec_id = c.vec_b
       WHERE ROUND({cos}, 6) >= 0.30
     """
 
@@ -488,8 +599,11 @@ def _q_embed_norms(engine: str) -> str:
 
 def _q_event_pivot(engine: str) -> str:
     # pivot-style conditional aggregation per user
+    # CAST(SUM(..) AS BIGINT): DuckDB's integer SUM returns HUGEINT
+    # (decimal128 via Arrow) while Spark returns bigint — identical values,
+    # different hashed representation without the cast (round-1 hash fail)
     cases = ", ".join(
-        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
         for t in ("click", "view", "purchase", "error", "signup")
     )
     return f"SELECT user_id, {cases} FROM events GROUP BY user_id"
@@ -498,9 +612,55 @@ def _q_event_pivot(engine: str) -> str:
 def _q_multimodal_bytes(engine: str) -> str:
     # multimodal plumbing: byte-size accounting of an opaque payload column
     nb = "octet_length(text)" if engine == "spark" else "strlen(text)"
+    # outer CAST: DuckDB SUM(BIGINT) re-widens to HUGEINT (round-1 hash fail)
     return f"""
-      SELECT lang, COUNT(*) AS n_docs, SUM(CAST({nb} AS BIGINT)) AS total_bytes
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(CAST({nb} AS BIGINT)) AS BIGINT) AS total_bytes
       FROM documents GROUP BY lang
+    """
+
+
+def _q_rolling_avg(engine: str) -> str:
+    # A3/P4 latency-EWMA relational twin: per-key rolling mean over the last
+    # 6 rows (ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) — integer-cents sums
+    # keep the window value order-independent and bit-exact on both engines
+    return """
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+               / CAST(100.0 AS DOUBLE)
+               / CAST(COUNT(*) OVER w AS DOUBLE) AS rolling_avg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    """
+
+
+def _q_link_filter(engine: str) -> str:
+    # F4 allow/deny regex + deny_extensions as a relational filter: build
+    # urls with a deterministic extension mix, keep only allow-matching,
+    # non-denied, non-media urls (same regex semantics as
+    # CrawlConfig.link_filter_reason / frontier.links_to_candidates)
+    if engine == "spark":
+        rx = lambda col, pat: f"{col} rlike '{pat}'"
+    else:
+        rx = lambda col, pat: f"regexp_matches({col}, '{pat}')"
+    ext = (
+        "CASE WHEN doc_id % 7 = 0 THEN '.jpg' WHEN doc_id % 7 = 1 THEN '.pdf' "
+        "WHEN doc_id % 7 = 2 THEN '.zip' WHEN doc_id % 7 = 3 THEN '.php' "
+        "ELSE '.html' END"
+    )
+    allow = rx("url", r"/f[0-9]+\.")
+    deny_ext = rx("url", r"\.(jpg|pdf|zip|7z|mp4)$")
+    deny_rx = rx("url", r"\.php$")
+    return f"""
+      SELECT doc_id, url FROM (
+        SELECT doc_id,
+               'http://ex.com/' || source || '/f' || CAST(doc_id AS STRING)
+                 || {ext} AS url
+        FROM documents) t
+      WHERE {allow}
+        AND NOT {deny_ext}
+        AND NOT {deny_rx}
     """
 
 
@@ -548,6 +708,8 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "embed_norms": _q_embed_norms,
     "event_pivot": _q_event_pivot,
     "multimodal_bytes": _q_multimodal_bytes,
+    "link_filter": _q_link_filter,
+    "rolling_avg": _q_rolling_avg,
 }
 
 
@@ -557,6 +719,144 @@ def _make_sql_query(builder: Callable[[str], str]):
         return spark.sql(builder("spark"))
 
     return run
+
+
+def _hp_bands_udf():
+    """Vectorized hyperplane-sketch kernel: embedding → 8 band values.
+    Accumulates over dims in ascending index order so every projection sum
+    is the same IEEE left fold the DuckDB oracle's literal SQL computes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    W = np.array(_hp_weights())  # (_HP_BANDS*_HP_BITS, _EMB_DIM)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def hp_bands(emb: pd.Series) -> pd.Series:
+        M = np.stack(emb.to_numpy())  # (n, dim) float32
+        acc = np.zeros((M.shape[0], W.shape[0]), dtype=np.float64)
+        for i in range(_EMB_DIM):  # dim-sequential == SQL left fold
+            acc += M[:, i].astype(np.float64)[:, None] * W[:, i][None, :]
+        bits = (np.round(acc, 6) > 0).astype(np.int64)
+        bands = np.zeros((M.shape[0], _HP_BANDS), dtype=np.int64)
+        for j in range(_HP_BANDS):
+            for r in range(_HP_BITS):
+                bands[:, j] += bits[:, j * _HP_BITS + r] << r
+        return pd.Series(list(bands))
+
+    return hp_bands
+
+
+def _cos6_udf():
+    """Vectorized exact-cosine verify, bit-identical to the oracle's SQL:
+    dot/norm sums accumulate over dims in ascending index order (the same
+    IEEE left fold as DuckDB's list_aggregate), then ROUND(…, 6)."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def cos6(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        n = A.shape[0]
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for i in range(_EMB_DIM):  # dim-sequential == SQL left fold
+            x = A[:, i].astype(np.float64)
+            y = B[:, i].astype(np.float64)
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return pd.Series(np.round(dot / (np.sqrt(na) * np.sqrt(nb)), 6))
+
+    return cos6
+
+
+def _embed_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame composition instead of the shared-SQL text: the sketch is
+    # computed ONCE (a WITH CTE would re-evaluate the UDF per band join),
+    # exploded to (vec_id, band_no, band_val) rows, and candidates come from
+    # ONE hash equi-join on the compound band key (the 8-way-union SQL the
+    # oracle runs is semantically identical but would cost 8 shuffles here).
+    # Exact cosine runs vectorized on the deduped candidates only.
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    sk = emb.select(
+        "vec_id", F.posexplode(_hp_bands_udf()("embedding")).alias("band_no", "band_val")
+    )
+    cand = (
+        sk.alias("x")
+        .join(sk.alias("y"), ["band_no", "band_val"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    cos6 = _cos6_udf()
+    return (
+        cand.join(emb.select(F.col("vec_id").alias("vec_a"),
+                             F.col("embedding").alias("_ea")), "vec_a")
+        .join(emb.select(F.col("vec_id").alias("vec_b"),
+                         F.col("embedding").alias("_eb")), "vec_b")
+        .withColumn("cos", cos6("_ea", "_eb"))
+        .filter(F.col("cos") >= 0.30)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def _multimodal_decode_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL multimodal plumbing (mapInPandas + fake_decode kernel,
+    sparkcrawl/multimodal.py) over payloads built deterministically from
+    documents.text; the DuckDB oracle replays fake_decode's arithmetic in
+    SQL (pure function of the bytes — docs are ASCII, so chars == bytes)."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.multimodal import process_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.length("text") > 0  # same guard as the oracle (empty payload path)
+    )
+    media = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.lit("synthetic").alias("media_format"),
+    )
+    out = process_media(media)
+    return out.select(
+        "doc_id",
+        F.col("media.media_type").alias("media_type"),
+        F.col("media.n_bytes").alias("n_bytes"),
+        F.col("media.width").alias("width"),
+        F.col("media.height").alias("height"),
+        F.col("media.duration_ms").alias("duration_ms"),
+    )
+
+
+_MULTIMODAL_DECODE_ORACLE = """
+  WITH b AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           list_aggregate(list_transform(
+             generate_series(1, least(strlen(text), 64)),
+             i -> ord(substr(text, i, 1))), 'sum') + strlen(text) AS h
+    FROM documents WHERE strlen(text) > 0)
+  SELECT doc_id, media_type, n_bytes,
+         CAST(CASE WHEN media_type IN ('image', 'video')
+              THEN 16 + h % 1024 END AS INT) AS width,
+         CAST(CASE WHEN media_type IN ('image', 'video')
+              THEN 16 + (h // 7) % 1024 END AS INT) AS height,
+         CAST(CASE WHEN media_type IN ('audio', 'video')
+              THEN 100 + h % 600000 END AS INT) AS duration_ms
+  FROM b
+"""
 
 
 def _canonicalize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,6 +885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, builder in _SHARED_QUERIES.items():
         out[name] = _make_sql_query(builder)
     out["canonicalize"] = _canonicalize_spark
+    out["embed_neardup"] = _embed_neardup_spark  # UDF-backed sketch (see above)
+    out["multimodal_decode"] = _multimodal_decode_spark
     out["approx_users"] = _approx_users_spark
     return out
 
@@ -592,5 +894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = {name: builder("duckdb") for name, builder in _SHARED_QUERIES.items()}
     out["canonicalize"] = _q_canonicalize("duckdb")
+    out["multimodal_decode"] = _MULTIMODAL_DECODE_ORACLE
     # approx_users: HLL estimate — intentionally no oracle (rows-only check)
     return out

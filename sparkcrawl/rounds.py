@@ -98,24 +98,39 @@ def _fp_col():
     return F.unhex(F.sha2(F.concat(F.lit("GET\x00"), F.col("canon")), 256)).alias("fp")
 
 
-def prepare_pages(spark: SparkSession, store: SnapStore, pages_path: str) -> int:
+def prepare_pages(
+    spark: SparkSession, store: SnapStore, pages_path: str,
+    cfg: CrawlConfig = CrawlConfig(),
+) -> int:
     """One-time corpus indexing: pages → (bucket, url_hash, canon, …),
     hive-partitioned by bucket. Stands in for the live network (S2) — the
     Common-Crawl-style corpus IS the fetch source (BASELINE.json:6)."""
     pages = spark.read.parquet(pages_path)
+    # corpus fetch latency (P4 adaptive-budget input); older corpora without
+    # the column behave as a uniform 1000 ms network
+    lat = (
+        F.col("latency_ms").cast("long")
+        if "latency_ms" in pages.columns
+        else F.lit(1000).cast("long")
+    )
     # ≤1 page per canonical url (the oracle's corpus is a canon-keyed dict);
-    # min page_url wins — deterministic under any partitioning. Collision-free
-    # on synth corpora, so this never diverges from the oracle there.
-    w = Window.partitionBy("canon").orderBy("url")
+    # min (url, warc_ts, xxhash64(html)) wins — fully deterministic under any
+    # partitioning even when two corpus rows share canon AND url but differ
+    # in payload. Collision-free on synth corpora, so this never diverges
+    # from the oracle there.
+    w = Window.partitionBy("canon").orderBy(
+        "url", "warc_ts", F.xxhash64("html")
+    )
     idx = (
-        with_bucket(canonicalized(pages))
+        with_bucket(canonicalized(pages), n_buckets=cfg.n_buckets)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .repartition(N_BUCKETS, "bucket")
+        .repartition(cfg.n_buckets, "bucket")
         .select(
             "bucket", "url_hash", "canon",
             F.col("url").alias("page_url"),
             "html", "warc_ts", "lang",
+            lat.alias("latency_ms"),
         )
     )
     # small parquet row groups: extraction parallelism is bounded by scan
@@ -135,7 +150,7 @@ def init_crawl(spark: SparkSession, store: SnapStore, seeds_path: str,
     from sparkcrawl.frontier import seeds_to_frontier
 
     seeds = spark.read.parquet(seeds_path)
-    fr = with_bucket(seeds_to_frontier(seeds)).persist()
+    fr = with_bucket(seeds_to_frontier(seeds), n_buckets=cfg.n_buckets).persist()
     seed_obs = Observation()
     f_snap = store.overwrite(
         "frontier",
@@ -146,7 +161,10 @@ def init_crawl(spark: SparkSession, store: SnapStore, seeds_path: str,
         "bucket", "url_hash", "canon", _fp_col(),
         F.lit(0).cast("int").alias("first_round"),
     ).repartition(1)
-    s_snap = store.append("seen", seen, partition_by=["bucket"])
+    # parent=None, NOT 'latest': round -1 has no committed predecessor, so a
+    # crashed init attempt's orphan seen snapshot must never be chained onto
+    # by the retry (duplicate seed keys would fan out the dedup left join)
+    s_snap = store.append("seen", seen, partition_by=["bucket"], parent=None)
     tables = {"frontier": f_snap, "seen": s_snap}
     if cfg.dedup_bloom and n_seeds >= cfg.bloom_min_seen:
         blob_rows = build_bucket_blobs(
@@ -231,6 +249,29 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     cand = cand.withColumn(
         "cap", F.coalesce("max_per_round", F.lit(cfg.max_per_round_default))
     )
+    # P4/A3 adaptive budget: previous round's latency EWMA tightens the
+    # static cap (pinned integer formula — CrawlConfig.adaptive_cap)
+    host_lat_prev = None
+    if cfg.adaptive_budget and "host_lat" in snaps:
+        host_lat_prev = store.read(spark, "host_lat", snaps["host_lat"])
+        cand = cand.join(
+            F.broadcast(host_lat_prev.select("host", "ewma_ms")), "host", "left"
+        ).withColumn(
+            "cap",
+            F.when(
+                F.col("ewma_ms").isNotNull(),
+                F.greatest(
+                    F.lit(1),
+                    F.least(
+                        F.col("cap"),
+                        F.expr(
+                            f"CAST({int(cfg.autothrottle_target_ms)} DIV "
+                            "greatest(ewma_ms, 1L) AS INT)"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.col("cap")),
+        )
 
     queued_prev = int(
         prev_manifest.get("meta", {}).get(
@@ -271,7 +312,7 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     n_sched = min(n_pass, cfg.round_size)
 
     # --- stages 6-7: fetch = corpus ⨝ broadcast(batch); extraction UDFs ---
-    keys = with_bucket(scheduled)
+    keys = with_bucket(scheduled, n_buckets=cfg.n_buckets)
     # extraction runs in the scan stage itself: hits are hash-uniform across
     # the bucket-partitioned corpus files, so the Python stage inherits even
     # scan parallelism with ZERO movement of html bytes (no shuffle, no
@@ -279,7 +320,9 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     # once, and the struct lands in the persisted cache so it can never be
     # re-evaluated by downstream projections.
     fetched = (
-        pages_idx.select("bucket", "url_hash", "canon", "page_url", "html")
+        pages_idx.select(
+            "bucket", "url_hash", "canon", "page_url", "html", "latency_ms"
+        )
         .join(F.broadcast(keys), ["bucket", "url_hash", "canon"], "inner")
         .withColumn("page", extract_page_udf("html", "page_url"))
         .drop("html")
@@ -295,59 +338,96 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     ).select(*FRONTIER_COLS)
 
     # --- stages 7b-8: link discovery, filters, batch dedup, bloom + exact ---
-    # single pass: the dedup window orders dropped rows AFTER viable ones
-    # within each canon group, so a viable row's row_number equals its rank
-    # among viable rows only — no branch/union, explode + canon UDF run once
+    # No window over the exploded links: dropped rows and in-batch duplicates
+    # never consult the seen set (their status is decided locally), so the
+    # per-canon winner comes from a map-side-combining
+    # groupBy(canon).min_by aggregation instead of a row_number window. The
+    # round-1 window shape shuffled AND sorted every exploded link row; the
+    # groupBy ships one partially-aggregated row per (map partition, canon),
+    # shrinking the peak-frontier round's dominant shuffle by the in-batch
+    # duplication factor and dropping the sort entirely — this was the
+    # measured scaling bottleneck (VERDICT r1).
     seen_keys = store.read(spark, "seen", snaps["seen"]).select(
         "bucket", "url_hash", "canon"
     )
     use_bloom = cfg.dedup_bloom and seen_total >= cfg.bloom_min_seen
     old_blobs: dict[int, bytes] | None = None
-    w_dup = Window.partitionBy("canon").orderBy(
-        F.col("drop_reason").isNotNull().asc(), F.col("seq").asc()
+    cand0 = with_bucket(
+        links_to_candidates(
+            fetched.withColumn("links", F.col("page.links")), cfg, round_n
+        ),
+        n_buckets=cfg.n_buckets,
+    ).persist()
+    # one counts job over ALL exploded rows (materializes the cand0 cache):
+    # drop-reason + viable tallies per partition; dropped rows are never
+    # needed again — only counted
+    drop_counts = _verdict_counts(
+        cand0.withColumn(
+            "status",
+            F.when(
+                F.col("drop_reason").isNotNull(),
+                F.concat(F.lower(F.col("drop_reason")), F.lit("_dropped")),
+            ).otherwise(F.lit("viable")),
+        ),
+        "status",
     )
-    cand0 = (
-        with_bucket(
-            links_to_candidates(
-                fetched.withColumn("links", F.col("page.links")), cfg, round_n
-            )
+    n_viable = sum(n for k, _, n in drop_counts if k == "viable")
+    counts.extend((k, p, n) for k, p, n in drop_counts if k != "viable")
+    counts.append(("links_extracted", -1, sum(n for _, _, n in drop_counts)))
+
+    # Only rank-1 viable rows ever consult the seen set: this shrinks the
+    # dedup join's probe side from all exploded links (batch dup rate on
+    # real crawls is huge) to the batch's distinct viable canons — and makes
+    # its inputs small enough that the join strategy is stable instead of
+    # flapping between broadcast and SMJ on AQE stats.
+    rank1 = (
+        cand0.filter(F.col("drop_reason").isNull())
+        .groupBy("canon")
+        .agg(
+            F.min_by(
+                F.struct(*[c for c in FRONTIER_COLS if c != "canon"], "bucket"),
+                F.col("seq"),
+            ).alias("_w")
         )
-        .withColumn("_rn", F.row_number().over(w_dup))
+        .select("canon", "_w.*")
     )
-    # Only rank-1 viable rows ever consult the seen set: a dropped row's
-    # status is its drop reason and an in-batch duplicate's status is
-    # dup_in_batch regardless of seen membership, so both label WITHOUT any
-    # join. This shrinks the dedup join's probe side from all exploded links
-    # (batch dup rate on real crawls is huge) to the batch's distinct viable
-    # canons — and makes its inputs small enough that the join strategy is
-    # stable instead of flapping between broadcast and SMJ on AQE stats.
-    cand0 = cand0.persist()
-    dropped_part = cand0.filter(F.col("drop_reason").isNotNull()).withColumn(
-        "status", F.concat(F.lower(F.col("drop_reason")), F.lit("_dropped"))
-    )
-    dup_part = cand0.filter(
-        F.col("drop_reason").isNull() & (F.col("_rn") > 1)
-    ).withColumn("status", F.lit("dup_in_batch"))
-    rank1 = cand0.filter(F.col("drop_reason").isNull() & (F.col("_rn") == 1))
 
     have_sidecar = "seen_filter" in snaps
     if use_bloom and have_sidecar:
         old_blobs = sidecar_from_arrow(
             store.read_local("seen_filter", snaps["seen_filter"])
         )
-        probe = make_probe_udf(spark, old_blobs)
-        # exact check ONLY for bloom-positive rows: broadcast their keys to
-        # stream (never shuffle) the seen scan, broadcast the confirmed dups
-        # back. cand0 is cached, so the broadcast subqueries materialize it
-        # once and the outer join reuses it.
-        rank1 = rank1.withColumn("_maybe", probe("bucket", "url_hash"))
-        maybe_keys = rank1.filter(F.col("_maybe")).select("bucket", "url_hash", "canon")
-        seen_hits = seen_keys.join(
-            F.broadcast(maybe_keys), ["bucket", "url_hash", "canon"], "left_semi"
-        ).withColumn("_seen", F.lit(True))
-        labeled1 = rank1.join(
-            F.broadcast(seen_hits), ["bucket", "url_hash", "canon"], "left"
-        )
+        probe, probe_bc = make_probe_udf(spark, old_blobs)
+        # exact check ONLY for bloom-positive rows. rank1 is persisted so
+        # its consumers share one materialization of the aggregation.
+        rank1 = rank1.withColumn("_maybe", probe("bucket", "url_hash")).persist()
+        if n_viable <= cfg.dedup_broadcast_max:
+            # broadcast the maybe-keys to stream (never shuffle) the seen
+            # scan, broadcast the confirmed dups back
+            maybe_keys = rank1.filter(F.col("_maybe")).select(
+                "bucket", "url_hash", "canon"
+            )
+            seen_hits = seen_keys.join(
+                F.broadcast(maybe_keys), ["bucket", "url_hash", "canon"], "left_semi"
+            ).withColumn("_seen", F.lit(True))
+            labeled1 = rank1.join(
+                F.broadcast(seen_hits), ["bucket", "url_hash", "canon"], "left"
+            )
+        else:
+            # broadcast guard (r1 #7): maybe-keys size tracks the round's
+            # duplicate-candidate count, which is unbounded on real crawls —
+            # past the threshold, shuffle ONLY the maybe rows into the
+            # co-partitioned join against seen (both sides bucketed on
+            # url_hash); bloom-negative rows are definitely new and bypass
+            # the join entirely. Same verdicts, property-tested.
+            hit = rank1.filter(F.col("_maybe")).join(
+                seen_keys.withColumn("_seen", F.lit(True)),
+                ["bucket", "url_hash", "canon"],
+                "left",
+            )
+            labeled1 = rank1.filter(~F.col("_maybe")).withColumn(
+                "_seen", F.lit(None).cast("boolean")
+            ).unionByName(hit)
     else:
         labeled1 = rank1.join(
             seen_keys.withColumn("_seen", F.lit(True)),
@@ -357,18 +437,22 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     labeled1 = labeled1.withColumn(
         "status",
         F.when(F.col("_seen").isNotNull(), "dedup_dropped").otherwise("enqueued"),
-    )
-    linkwork = (
-        dropped_part.select(*FRONTIER_COLS, "bucket", "status")
-        .unionByName(dup_part.select(*FRONTIER_COLS, "bucket", "status"))
-        .unionByName(labeled1.select(*FRONTIER_COLS, "bucket", "status"))
-        .persist()
-    )
-    link_counts = _verdict_counts(linkwork, "status")
+    ).persist()
+    link_counts = _verdict_counts(labeled1, "status")
+    if use_bloom and have_sidecar:
+        # labeled1 is materialized → the probe stage ran; release this
+        # round's sidecar broadcast from the executors so stale blobs never
+        # accumulate (unpersist, not destroy: a cache eviction could force
+        # the probe lineage to recompute, which re-broadcasts on demand; the
+        # driver-side copy is garbage-collected when the round ends)
+        probe_bc.unpersist()
     counts.extend(link_counts)
-    counts.append(("links_extracted", -1, sum(n for _, _, n in link_counts)))
+    # in-batch duplicates = viable rows minus canon-level winners; the
+    # duplicate rows themselves are never used, only counted
+    n_rank1 = sum(n for _, _, n in link_counts)
+    counts.append(("dup_in_batch", -1, n_viable - n_rank1))
     _tick("linkwork")
-    fresh = linkwork.filter(F.col("status") == "enqueued")
+    fresh = labeled1.filter(F.col("status") == "enqueued")
 
     # --- bloom sidecar update: per-bucket blobs for fresh keys, OR-merged ---
     filter_snap = None
@@ -415,7 +499,7 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
             fresh.select(
                 "bucket", "url_hash", "canon", _fp_col(),
                 F.lit(round_n).cast("int").alias("first_round"),
-            ).repartition(N_BUCKETS, "bucket"),
+            ).repartition(cfg.n_buckets, "bucket"),
             partition_by=["bucket"],
             parent=snaps["seen"],
         )
@@ -444,13 +528,35 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         )
         return store.append("frontier_log", log, parent=snaps.get("frontier_log"))
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    def _w_host_lat():
+        # P4/A3: integer latency EWMA per host (pinned formula, config.py).
+        # Hosts fetched this round fold their obs into the running EWMA;
+        # untouched hosts carry theirs forward unchanged.
+        obs = fetched.groupBy("host").agg(
+            F.expr("sum(latency_ms) DIV count(1)").alias("obs_ms")
+        )
+        if host_lat_prev is not None:
+            prev = host_lat_prev.select("host", F.col("ewma_ms").alias("prev_ms"))
+            merged = obs.join(prev, "host", "full_outer").select(
+                "host",
+                F.when(F.col("obs_ms").isNull(), F.col("prev_ms"))
+                .when(F.col("prev_ms").isNull(), F.col("obs_ms"))
+                .otherwise(F.expr("(obs_ms + prev_ms) DIV 2"))
+                .alias("ewma_ms"),
+            )
+        else:
+            merged = obs.select("host", F.col("obs_ms").alias("ewma_ms"))
+        return store.overwrite("host_lat", merged.repartition(max(2, par // 8)))
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
         futs = {
             "extracted": pool.submit(_w_extracted),
             "seen": pool.submit(_w_seen),
             "frontier": pool.submit(_w_frontier),
             "frontier_log": pool.submit(_w_log),
         }
+        if cfg.adaptive_budget:
+            futs["host_lat"] = pool.submit(_w_host_lat)
         snap_ids = {k: f.result() for k, f in futs.items()}
     n_fetched = int(ext_obs.get["n"])
     counts.append(("fetched", -1, n_fetched))
@@ -506,11 +612,16 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         "robots": robots_snap, "extracted": snap_ids["extracted"],
         "frontier_log": snap_ids["frontier_log"], "metrics": met_snap,
     }
+    if "host_lat" in snap_ids:
+        tables["host_lat"] = snap_ids["host_lat"]
     if filter_snap is not None:
         tables["seen_filter"] = filter_snap
     store.commit_round(round_n, tables, meta={k: int(v) for k, v in summary.items()})
 
-    for df in (work, scheduled, fetched, cand0, linkwork, new_robots):
+    to_unpersist = [work, scheduled, fetched, cand0, labeled1, new_robots]
+    if use_bloom and have_sidecar:
+        to_unpersist.append(rank1)
+    for df in to_unpersist:
         if df is not None:
             df.unpersist()
     _tick("commit_unpersist")

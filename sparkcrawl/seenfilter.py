@@ -89,9 +89,13 @@ def sidecar_from_arrow(tab: pa.Table) -> dict[int, bytes]:
 
 
 def make_probe_udf(spark: SparkSession, blobs: dict[int, bytes]):
-    """Broadcast the sidecar and return a vectorized (bucket, url_hash) →
-    maybe_seen pandas UDF. A bucket with no blob yet ⇒ nothing of it was ever
-    enqueued ⇒ definitely unseen."""
+    """Broadcast the sidecar and return ``(probe_udf, broadcast_handle)``.
+    The probe is a vectorized (bucket, url_hash) → maybe_seen pandas UDF. A
+    bucket with no blob yet ⇒ nothing of it was ever enqueued ⇒ definitely
+    unseen. The caller owns the broadcast handle and must ``destroy()`` it
+    once the probing stage has materialized — otherwise stale per-round
+    sidecar blobs accumulate on driver and executors for the life of the
+    crawl (ADVICE r1)."""
     bc = spark.sparkContext.broadcast(blobs)
 
     @F.pandas_udf("boolean")
@@ -108,4 +112,4 @@ def make_probe_udf(spark: SparkSession, blobs: dict[int, bytes]):
             out[mask] = BloomFilter.from_bytes(blob).contains_many(h_arr[mask])
         return pd.Series(out)
 
-    return probe
+    return probe, bc

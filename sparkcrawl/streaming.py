@@ -152,9 +152,13 @@ def run_available_now(
     output_mode: str = "append",
 ) -> list:
     """Drain the stream with AvailableNow into an in-memory sink; returns
-    collected rows. Checkpointed: re-running with the same checkpoint
-    resumes exactly-once (no reprocessed files). Aggregations use
-    ``output_mode="complete"`` so windows still open at end-of-data emit."""
+    collected rows. The checkpoint gives exactly-once *processing*: a rerun
+    with the same checkpoint processes no already-committed files. The
+    memory sink itself is NOT fault-tolerant, so such a rerun returns []
+    (the fresh in-memory table only ever holds rows processed by THIS run)
+    — use a durable sink (parquet) when resumed results must be re-read.
+    Aggregations use ``output_mode="complete"`` so windows still open at
+    end-of-data emit."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)

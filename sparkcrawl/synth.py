@@ -70,9 +70,9 @@ def _gen_host(args) -> tuple[list, list, list, list, list]:
     """Generate one host's pages — pure function of the args tuple, so the
     corpus is identical whether generated serially or via a process pool."""
     (seed, i, n_hosts, pages_per_host, n_links_lo, n_links_hi, n_paras_lo,
-     n_paras_hi) = args
+     n_paras_hi, media_rate) = args
     hot = 0  # host 0 is the hot host (skew target)
-    urls, tss, htmls, texts, langs = [], [], [], [], []
+    urls, tss, htmls, texts, langs, lats = [], [], [], [], [], []
     for j in range(pages_per_host):
         rng = random.Random(seed * 1_000_003 + i * 7919 + j)
         url = page_url(i, j)
@@ -93,6 +93,11 @@ def _gen_host(args) -> tuple[list, list, list, list, list]:
             links.append((_page_path(rng.randrange(pages_per_host)), True))
         if rng.random() < 0.01:
             links.append((f"/dead{j}-{rng.randrange(10)}.html", False))
+        # media links (exercise F4 deny_extensions); short-circuit keeps the
+        # rng stream — and thus existing corpora — identical at rate 0
+        if media_rate > 0 and rng.random() < media_rate:
+            ext = (".jpg", ".pdf", ".zip", ".mp4")[rng.randrange(4)]
+            links.append((f"/media/m{rng.randrange(pages_per_host)}{ext}", False))
 
         latin1 = (i + j) % 17 == 0
         words = _WORDS + (_WORDS_L1 if latin1 else [])
@@ -119,7 +124,12 @@ def _gen_host(args) -> tuple[list, list, list, list, list]:
         htmls.append(html)
         texts.append(extract_text(html))
         langs.append(_LANGS[xxh64_str(url) % 3])
-    return urls, tss, htmls, texts, langs
+        # deterministic fetch latency (P4 adaptive budget input): per-host
+        # base 50..950 ms + per-page jitter 0..199 ms
+        lats.append(
+            50 + (xxh64_str(host_name(i)) % 10) * 100 + xxh64_str(url) % 200
+        )
+    return urls, tss, htmls, texts, langs, lats
 
 
 def generate(
@@ -131,6 +141,7 @@ def generate(
     max_per_round: int = 8,
     n_links: tuple[int, int] = (2, 4),
     n_paras: tuple[int, int] = (2, 5),
+    media_link_rate: float = 0.0,
     procs: int | None = None,
 ) -> dict:
     """Write the corpus tables under ``out_dir``; returns summary counts.
@@ -141,7 +152,7 @@ def generate(
     os.makedirs(out_dir, exist_ok=True)
     tasks = [
         (seed, i, n_hosts, pages_per_host, n_links[0], n_links[1],
-         n_paras[0], n_paras[1])
+         n_paras[0], n_paras[1], media_link_rate)
         for i in range(n_hosts)
     ]
     if procs and procs > 1 and n_hosts > 1:
@@ -151,9 +162,10 @@ def generate(
             parts = pool.map(_gen_host, tasks, chunksize=max(1, n_hosts // (procs * 4)))
     else:
         parts = [_gen_host(t) for t in tasks]
-    urls, tss, htmls, texts, langs = [], [], [], [], []
-    for u, t, h, x, l in parts:
-        urls.extend(u); tss.extend(t); htmls.extend(h); texts.extend(x); langs.extend(l)
+    urls, tss, htmls, texts, langs, lats = [], [], [], [], [], []
+    for u, t, h, x, l, la in parts:
+        urls.extend(u); tss.extend(t); htmls.extend(h); texts.extend(x)
+        langs.extend(l); lats.extend(la)
 
     pages = pa.table(
         {
@@ -162,6 +174,7 @@ def generate(
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs, pa.string()),
+            "latency_ms": pa.array(lats, pa.int64()),
         }
     )
     pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))

@@ -1,0 +1,119 @@
+"""P4/A3 adaptive per-host budget (AutoThrottle analogue): pipeline ≡ oracle
+under the pinned integer latency-EWMA formula (config.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle.crawler import crawl as oracle_crawl
+from sparkcrawl.config import CrawlConfig
+from sparkcrawl.crawl import run_crawl
+from sparkcrawl.snapstore import SnapStore
+from sparkcrawl.synth import generate
+
+# target 2000 ms over per-host latencies 50..1150 ms → caps spread 1..8,
+# tighter than the static cap for slow hosts (the interesting regime)
+CFG = CrawlConfig(
+    round_size=60, bloom_min_seen=0, adaptive_budget=True,
+    autothrottle_target_ms=2000, max_per_round_default=8,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus_at"))
+    generate(d, seed=11, n_hosts=6, pages_per_host=16, n_seeds=4)
+    return d
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, corpus, tmp_path_factory):
+    store_dir = str(tmp_path_factory.mktemp("store_at"))
+    summaries = run_crawl(spark, corpus, store_dir, CFG)
+    return SnapStore(store_dir), summaries
+
+
+@pytest.fixture(scope="module")
+def golden(corpus):
+    return oracle_crawl(corpus, CFG)
+
+
+def test_adaptive_cap_formula():
+    cfg = CrawlConfig(autothrottle_target_ms=1000)
+    assert cfg.adaptive_cap(100, 8) == 8     # fast host → static cap binds
+    assert cfg.adaptive_cap(250, 8) == 4
+    assert cfg.adaptive_cap(10_000, 8) == 1  # slow host → floor of 1
+    assert cfg.adaptive_cap(0, 8) == 8       # guard: ewma 0 never divides
+
+
+def test_adaptive_ordering_and_seen_exact(spark, crawled, golden):
+    store, _ = crawled
+    from sparkcrawl.crawl import schedule_view
+
+    rows = (
+        schedule_view(spark, store)
+        .orderBy("round", F.desc("priority"), "seq")
+        .select("round", "canon")
+        .collect()
+    )
+    got: dict[int, list[str]] = {}
+    for r in rows:
+        got.setdefault(r["round"], []).append(r["canon"])
+    for i, g in enumerate(golden.rounds):
+        assert got.get(i, []) == g, f"round {i}"
+    seen = {r["canon"] for r in store.read(spark, "seen").select("canon").collect()}
+    assert seen == golden.seen
+
+
+def test_adaptive_metrics_match_oracle(spark, crawled, golden):
+    store, _ = crawled
+    rows = (
+        store.read(spark, "metrics")
+        .groupBy("round", "key")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    got: dict[int, dict[str, int]] = {}
+    for r in rows:
+        got.setdefault(r["round"], {})[r["key"]] = r["n"]
+    deferred_total = 0
+    for m in golden.metrics:
+        rnd = m["round"]
+        for key in ("scheduled", "budget_deferred", "enqueued", "dedup_dropped"):
+            assert got.get(rnd, {}).get(key, 0) == m[key], (rnd, key)
+        deferred_total += m["budget_deferred"]
+    # the EWMA caps must actually bite (otherwise this test proves nothing)
+    assert deferred_total > 0
+
+
+def test_adaptive_differs_from_static(corpus):
+    static = oracle_crawl(corpus, CrawlConfig(
+        round_size=60, bloom_min_seen=0, adaptive_budget=False,
+        max_per_round_default=8,
+    ))
+    adaptive = oracle_crawl(corpus, CFG)
+    assert adaptive.rounds != static.rounds  # caps changed the schedule
+
+
+def test_host_lat_table_matches_oracle_ewma(spark, crawled, golden, corpus):
+    """Replay the oracle's EWMA and compare against the committed table."""
+    store, _ = crawled
+    rows = store.read(spark, "host_lat").collect()
+    got = {r["host"]: r["ewma_ms"] for r in rows}
+    # recompute the oracle-side final EWMA
+    from oracle.crawler import load_corpus
+
+    pages, *_ = load_corpus(corpus)
+    lat_of = {canon: lat for canon, (_u, _h, lat) in pages.items()}
+    ewma: dict[str, int] = {}
+    for rnd_urls in golden.rounds:
+        obs: dict[str, list[int]] = {}
+        for canon in rnd_urls:
+            if canon in lat_of:
+                host = canon.split("/")[2]
+                acc = obs.setdefault(host, [0, 0])
+                acc[0] += lat_of[canon]
+                acc[1] += 1
+        for h, (s, n) in obs.items():
+            o = s // n
+            ewma[h] = o if h not in ewma else (o + ewma[h]) // 2
+    assert got == ewma

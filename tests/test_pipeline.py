@@ -214,3 +214,53 @@ def test_crash_resume_orphans_partial_snapshots(
     }
     assert final_seen == golden.seen
     assert "http://junk.example/" not in final_seen
+
+
+def test_dedup_smj_guard_equals_broadcast_path(spark, corpus, golden, tmp_path_factory):
+    """Broadcast guard (r1 #7): dedup_broadcast_max=0 forces the
+    co-partitioned shuffle-join fallback for every round; results must equal
+    the broadcast-path golden run bit-for-bit."""
+    cfg = CrawlConfig(round_size=50, bloom_min_seen=0, dedup_broadcast_max=0)
+    store_dir = str(tmp_path_factory.mktemp("store_smj"))
+    run_crawl(spark, corpus, store_dir, cfg)
+    store = SnapStore(store_dir)
+    got = spark_rounds(spark, store)
+    for i, g in enumerate(golden.rounds):
+        assert got.get(i, []) == g, f"round {i}"
+    seen = {r["canon"] for r in store.read(spark, "seen").select("canon").collect()}
+    assert seen == golden.seen
+
+
+def test_nondefault_bucket_and_salt_layout(spark, corpus, golden, tmp_path_factory):
+    """Layout knobs are config (r1 #9): a crawl at n_buckets=8 / salt_n=4
+    produces the identical schedule and seen set."""
+    cfg = CrawlConfig(round_size=50, bloom_min_seen=0, n_buckets=8, salt_n=4)
+    store_dir = str(tmp_path_factory.mktemp("store_nb8"))
+    run_crawl(spark, corpus, store_dir, cfg)
+    store = SnapStore(store_dir)
+    got = spark_rounds(spark, store)
+    for i, g in enumerate(golden.rounds):
+        assert got.get(i, []) == g, f"round {i}"
+    seen_rows = store.read(spark, "seen").select("bucket", "canon").collect()
+    assert {r["canon"] for r in seen_rows} == golden.seen
+    assert {r["bucket"] for r in seen_rows} <= set(range(8))
+
+
+def test_feed_export_roundtrip(spark, crawled, golden, tmp_path_factory):
+    """S6 feed export: jsonl keeps the nested links; csv flattens them —
+    both read back with the full extracted row count."""
+    from sparkcrawl.export import export_extracted
+
+    store, _ = crawled
+    n_expected = store.read(spark, "extracted").count()
+    jdir = str(tmp_path_factory.mktemp("export_j")) + "/out"
+    n = export_extracted(spark, store, jdir, "jsonl")
+    assert n == n_expected
+    back = spark.read.json(jdir)
+    assert back.count() == n_expected
+    assert "links" in back.columns and "text" in back.columns
+    cdir = str(tmp_path_factory.mktemp("export_c")) + "/out"
+    n2 = export_extracted(spark, store, cdir, "csv")
+    assert n2 == n_expected
+    backc = spark.read.option("header", True).csv(cdir)
+    assert backc.count() == n_expected
