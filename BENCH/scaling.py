@@ -10,8 +10,13 @@ state leaks between measurements. Throughput is computed from the pipeline's
 own metrics (scheduled+deduped per round / round wall), excluding Spark
 startup and corpus generation, per BASELINE.md.
 
+SUPERSEDED as the headline scaling evidence by BENCH/cluster.py (a real
+standalone cluster with separate worker JVMs); kept as the lighter
+single-JVM variant. Writes BENCH/SCALING_LOCAL.md — cluster.py owns
+BENCH/BASELINE.md.
+
 Usage:  python BENCH/scaling.py [--hosts 600 --pph 500 --rounds 8]
-Writes: BENCH/BASELINE.md + BENCH/scaling_result.json
+Writes: BENCH/SCALING_LOCAL.md + BENCH/scaling_result.json
 """
 
 from __future__ import annotations
@@ -142,7 +147,8 @@ def main() -> None:
         json.dump(doc, f, indent=2)
     print(json.dumps(doc))
 
-    md = f"""# BENCH/BASELINE.md — measured results
+    md = f"""# BENCH/SCALING_LOCAL.md — single-JVM local[N] scaling variant
+(superseded by the standalone-cluster evidence in BENCH/BASELINE.md)
 
 ## Scaling efficiency (N → 4N parallelism, BASELINE.json:2,14)
 
@@ -170,9 +176,9 @@ the sanctioned stand-in for N → 4N executors (driver instruction;
 SURVEY.md §4.3). Shuffles are in-process, so this measures task-parallel
 scaling of the same physical plan, not network shuffle scaling.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING_LOCAL.md"), "w") as f:
         f.write(md)
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/SCALING_LOCAL.md")
 
 
 if __name__ == "__main__":

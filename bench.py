@@ -27,6 +27,8 @@ HEADLINE = [
     "window_hourly", "dedup_exact", "minhash_lsh_pairs", "simhash",
     "ngram_jaccard", "ann_bruteforce", "embed_neardup", "embed_norms",
     "seen_antijoin",
+    # round 2 additions
+    "ann_ivf_multiprobe", "multimodal_decode", "rolling_avg", "link_filter",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))

@@ -42,7 +42,8 @@ class CrawlConfig:
     respect_nofollow: bool = True
     url_length_limit: int = 2083    # URLLENGTH_LIMIT
     allowed_domains: tuple[str, ...] | None = None  # None → allow all (offsite off)
-    # --- F4 LinkExtractor allow/deny (SURVEY.md §2.2) ---
+    # --- F4 LinkExtractor allow/deny (SURVEY.md §2.2, [scrapy:
+    #     scrapy/linkextractors/lxmlhtml.py::LxmlLinkExtractor] pinned) ---
     # Patterns are unanchored regex (re.search / Spark rlike — stay in the
     # Java∩Python regex subset) applied to the CANONICAL url; pinned drop
     # order: NOFOLLOW → DEPTH → URL_GUARD → EXT → REGEX → OFFSITE.
@@ -50,7 +51,9 @@ class CrawlConfig:
     deny_patterns: tuple[str, ...] = ()             # drop links matching ANY
     deny_extensions: tuple[str, ...] = IGNORED_EXTENSIONS  # () disables
     seed: int = 42
-    # --- P4/A3 adaptive per-host budget (AutoThrottle analogue) ---
+    # --- P4/A3 adaptive per-host budget (AutoThrottle analogue,
+    #     [scrapy: scrapy/extensions/throttle.py::AutoThrottle] — pinned-spec
+    #     cite per SURVEY.md §0: reference checkout empty) ---
     # When on, round N+1's per-host cap derives from a latency EWMA over the
     # per-round host_lat table (rounds discretize time — SURVEY.md §2.4 P4).
     # ALL arithmetic is pinned integer (α = 1/2) so the distributed pipeline

@@ -494,6 +494,65 @@ def _q_ann_ivf(engine: str) -> str:
     """
 
 
+def _q_ann_ivf_multiprobe(engine: str) -> str:
+    # IVF with nprobe=3: rank cells by exact squared distance from the query
+    # to each cell centroid, probe the 3 nearest cells, cosine top-10 within
+    # them. All centroid/distance arithmetic is integer-fixed-point so the
+    # distributed sums are order-independent and bit-exact on both engines
+    # (micro-resolution centroids, pico-resolution distances).
+    if engine == "spark":
+        expl = (
+            "SELECT label, pos AS dim, CAST(val AS DOUBLE) AS val "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, val"
+        )
+        qexpl = (
+            "SELECT pos AS dim, CAST(val AS DOUBLE) AS val "
+            "FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) qq "
+            "LATERAL VIEW posexplode(embedding) t AS pos, val"
+        )
+    else:
+        expl = (
+            "SELECT label, i-1 AS dim, CAST(embedding[i] AS DOUBLE) AS val "
+            "FROM embeddings, generate_series(1, 64) g(i)"
+        )
+        qexpl = (
+            "SELECT i-1 AS dim, CAST(embedding[i] AS DOUBLE) AS val "
+            "FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) qq, "
+            "generate_series(1, 64) g(i)"
+        )
+    cos = _cosine(engine, "e.embedding", "q.embedding")
+    return f"""
+      WITH ev AS ({expl}),
+      cent AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(ROUND(val * 1000000) AS BIGINT)) AS DOUBLE)
+                 / CAST(1000000.0 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+        FROM ev GROUP BY label, dim),
+      qv AS ({qexpl}),
+      dist AS (
+        SELECT cent.label,
+               SUM(CAST(ROUND((qv.val - cent.c) * (qv.val - cent.c)
+                              * 1000000000000) AS BIGINT)) AS d_fp
+        FROM cent JOIN qv ON cent.dim = qv.dim
+        GROUP BY cent.label),
+      probe AS (
+        SELECT label FROM (
+          SELECT label, ROW_NUMBER() OVER (ORDER BY d_fp ASC, label ASC) AS rk
+          FROM dist) t
+        WHERE rk <= 3),
+      q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, cos, rk FROM (
+        SELECT e.vec_id AS vec_id, ROUND({cos}, 6) AS cos,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY ROUND({cos}, 6) DESC, e.vec_id ASC) AS INT) AS rk
+        FROM embeddings e
+        JOIN probe p ON e.label = p.label
+        CROSS JOIN q
+        WHERE e.vec_id <> 0) t
+      WHERE rk <= 10
+    """
+
+
 _HP_BANDS = 8       # LSH bands over the hyperplane sketch
 _HP_BITS = 4        # bits (hyperplanes) per band — the bucket-occupancy knob
 _EMB_DIM = 64
@@ -704,6 +763,7 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "ngram_jaccard": _q_ngram_jaccard,
     "ann_bruteforce": _q_ann_bruteforce,
     "ann_ivf": _q_ann_ivf,
+    "ann_ivf_multiprobe": _q_ann_ivf_multiprobe,
     "embed_neardup": _q_embed_neardup,
     "embed_norms": _q_embed_norms,
     "event_pivot": _q_event_pivot,

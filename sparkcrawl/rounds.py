@@ -217,14 +217,12 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
             .select("host", "status", "body", "fetched_round")
             .persist()
         )
-        robots_snap = store.append(
-            "robots",
-            new_robots.observe(robots_obs, F.count(F.lit(1)).alias("n")).repartition(1),
-            parent=snaps["robots"],
-        )
-        counts.append(("robots_fetched", -1, int(robots_obs.get["n"])))
+        # the append itself is deferred to the end-of-round concurrent write
+        # pool (one fewer sequential job barrier per round); new_robots is
+        # persisted, so the in-round union below materializes it once and
+        # the deferred write reuses the cache
         robots_all = robots_prev.unionByName(new_robots)
-        _tick("robots_append")
+        _tick("robots_plan")
 
         # --- stages 3-4: robots eval + per-host budget, one labeled DF ---
         cand = frontier.join(robots_all, "host", "left")
@@ -236,8 +234,8 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
             ),
         )
     else:
-        robots_snap = snaps["robots"]  # unchanged — re-commit the same snapshot
         new_robots = None
+        robots_obs = None
         cand = frontier.withColumn("fetched_round", F.lit(-1).cast("int")).withColumn(
             "allowed", F.lit(True)
         )
@@ -342,11 +340,13 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     # never consult the seen set (their status is decided locally), so the
     # per-canon winner comes from a map-side-combining
     # groupBy(canon).min_by aggregation instead of a row_number window. The
-    # round-1 window shape shuffled AND sorted every exploded link row; the
-    # groupBy ships one partially-aggregated row per (map partition, canon),
-    # shrinking the peak-frontier round's dominant shuffle by the in-batch
-    # duplication factor and dropping the sort entirely — this was the
-    # measured scaling bottleneck (VERDICT r1).
+    # round-1 window shape shuffled AND globally sorted every exploded link
+    # row with zero map-side reduction; the groupBy ships one
+    # partially-aggregated row per (map partition, canon), shrinking the
+    # peak-frontier round's dominant shuffle by the in-batch duplication
+    # factor — this was the measured scaling bottleneck (VERDICT r1).
+    # (Struct min_by buffers are var-length, so Spark plans SortAggregate —
+    # per-partition sorts, but the shuffle-volume win is what matters.)
     seen_keys = store.read(spark, "seen", snaps["seen"]).select(
         "bucket", "url_hash", "canon"
     )
@@ -548,7 +548,15 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
             merged = obs.select("host", F.col("obs_ms").alias("ewma_ms"))
         return store.overwrite("host_lat", merged.repartition(max(2, par // 8)))
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    def _w_robots():
+        return store.append(
+            "robots",
+            new_robots.observe(robots_obs, F.count(F.lit(1)).alias("n"))
+            .repartition(1),
+            parent=snaps["robots"],
+        )
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
         futs = {
             "extracted": pool.submit(_w_extracted),
             "seen": pool.submit(_w_seen),
@@ -557,7 +565,14 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         }
         if cfg.adaptive_budget:
             futs["host_lat"] = pool.submit(_w_host_lat)
+        if cfg.obey_robots:
+            futs["robots"] = pool.submit(_w_robots)
         snap_ids = {k: f.result() for k, f in futs.items()}
+    if cfg.obey_robots:
+        robots_snap = snap_ids["robots"]
+        counts.append(("robots_fetched", -1, int(robots_obs.get["n"])))
+    else:
+        robots_snap = snaps["robots"]  # unchanged — re-commit the same snapshot
     n_fetched = int(ext_obs.get["n"])
     counts.append(("fetched", -1, n_fetched))
     counts.append(("fetch_miss", -1, n_sched - n_fetched))

@@ -36,12 +36,16 @@ PAGE_TYPE = T.StructType(
 
 @F.pandas_udf(T.StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(lambda u: canonicalize_url(u) if u is not None else None)
+    # exploded link batches repeat raw urls heavily (chain/random intra-host
+    # edges) — canonicalize each DISTINCT url once per batch, then dict-map
+    mapping = {u: canonicalize_url(u) for u in urls.dropna().unique()}
+    return urls.map(lambda u: mapping[u] if u is not None else None)
 
 
 @F.pandas_udf(T.StringType())
 def host_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(lambda u: url_host(u) if u is not None else None)
+    mapping = {u: url_host(u) for u in urls.dropna().unique()}
+    return urls.map(lambda u: mapping[u] if u is not None else None)
 
 
 @F.pandas_udf(T.StringType())

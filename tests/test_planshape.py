@@ -97,3 +97,33 @@ def test_tpch_pushdown(spark):
     plan = _plan(df)
     assert "PushedFilters" in plan
     assert "c_mktsegment" in plan  # the dimension filter reached the scan
+
+
+def test_batch_dedup_agg_is_partial_no_window(spark):
+    """The batch-dedup winner selection (rounds.py) must be an aggregation
+    WITH a map-side partial phase and NO window: the round-1 row_number
+    window shuffled + globally sorted every exploded link row (zero map-side
+    reduction) and was the measured scaling bottleneck. A struct-valued
+    min_by buffer is var-length, so Spark plans SortAggregate (per-partition
+    sort by the group key) rather than HashAggregate — acceptable: the
+    shuffle still carries one partially-aggregated row per (partition,
+    canon), which is the property that matters at scale."""
+    from sparkcrawl.frontier import FRONTIER_COLS
+
+    cand = spark.createDataFrame(
+        [(f"u{i % 7}", f"c{i % 7}", i, f"h{i % 3}", 1, 0, i, 0, None, i % 4)
+         for i in range(50)],
+        "url string, canon string, url_hash long, host string, depth int, "
+        "priority int, seq long, discovered_round int, parent_url string, "
+        "bucket int",
+    )
+    rank1 = (
+        cand.groupBy("canon")
+        .agg(F.min_by(
+            F.struct(*[c for c in FRONTIER_COLS if c != "canon"], "bucket"),
+            F.col("seq")).alias("_w"))
+        .select("canon", "_w.*")
+    )
+    plan = _plan(rank1)
+    assert "partial_min_by" in plan, plan  # map-side combine before shuffle
+    assert "Window" not in plan, plan
