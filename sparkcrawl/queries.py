@@ -224,6 +224,93 @@ def _q_tpch_q5(engine: str) -> str:
     """
 
 
+def _q_tpch_q4(engine: str) -> str:
+    # TPC-H Q4 shape (EXISTS decorrelation → semi join); predicate adapted
+    # to the available columns (no l_commitdate in this dataset): an order
+    # counts when some line item shipped after the order date
+    return """
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate)
+      GROUP BY o_orderpriority
+    """
+
+
+def _q_tpch_q6(engine: str) -> str:
+    # TPC-H Q6: scan-heavy filtered aggregate (predicate-pushdown showcase)
+    return """
+      SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+                  AS DOUBLE) / CAST(100.0 AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24
+    """
+
+
+def _q_tpch_q10(engine: str) -> str:
+    # TPC-H Q10: returned-item revenue per customer, top 20 (join + agg +
+    # deterministic top-k)
+    return """
+      SELECT c_custkey, c_name, n_name, revenue FROM (
+        SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+               n.n_name AS n_name,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS DOUBLE)
+                 / CAST(100.0 AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name) t
+      ORDER BY revenue DESC, c_custkey ASC
+      LIMIT 20
+    """
+
+
+def _q_tpch_q14(engine: str) -> str:
+    # TPC-H Q14: promo revenue share (conditional aggregate over a join)
+    return """
+      SELECT ROUND(
+        CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS DOUBLE) * 100, 6) AS promo_pct
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate < TIMESTAMP '1996-10-01'
+    """
+
+
+def _q_tpch_q18(engine: str) -> str:
+    # TPC-H Q18: large-volume orders (group-filter on an aggregate)
+    return """
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             total_qty
+      FROM (
+        SELECT c.c_name AS c_name, c.c_custkey AS c_custkey,
+               o.o_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+               o.o_totalprice AS o_totalprice,
+               CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT)
+                 AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice) t
+      WHERE total_qty > 150
+    """
+
+
 def _q_dedup_exact(engine: str) -> str:
     # exact (hash-groupBy) dedup: content hash → representative + dup count
     return """
@@ -752,6 +839,11 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "tpch_q1": _q_tpch_q1,
     "tpch_q3": _q_tpch_q3,
     "tpch_q5": _q_tpch_q5,
+    "tpch_q4": _q_tpch_q4,
+    "tpch_q6": _q_tpch_q6,
+    "tpch_q10": _q_tpch_q10,
+    "tpch_q14": _q_tpch_q14,
+    "tpch_q18": _q_tpch_q18,
     "dedup_exact": _q_dedup_exact,
     "token_stats": _q_token_stats,
     "langid": _q_langid,
@@ -831,6 +923,81 @@ def _cos6_udf():
         return pd.Series(np.round(dot / (np.sqrt(na) * np.sqrt(nb)), 6))
 
     return cos6
+
+
+def _minhash_lsh_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame twin of the shared SQL: Spark inlines CTEs, so the UNION of
+    # per-band self-joins would recompute the (expensive) signature
+    # aggregation once per branch side. Compute the banded sketch ONCE,
+    # persist it, explode to (doc_id, band_no, band_hash) and candidate-join
+    # on the compound band key — one shuffle, same result set.
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    sigs = spark.sql(_q_minhash_signatures("spark"))
+    banded = sigs.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", "sig0", "sig1", "sig2", "sig3")).alias("b0"),
+        F.md5(F.concat_ws(",", "sig4", "sig5", "sig6", "sig7")).alias("b1"),
+    )
+    sk = banded.select(
+        "doc_id", F.posexplode(F.array("b0", "b1")).alias("band_no", "band_val")
+    ).persist()
+    return (
+        sk.alias("x")
+        .join(sk.alias("y"), ["band_no", "band_val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same CTE-recompute hazard as minhash_lsh_pairs (4 band branches would
+    # re-aggregate signatures 8×): persist the banded sketch and the shingle
+    # sets, single candidate equi-join, exact Jaccard on candidates only.
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    sigs = spark.sql(_q_minhash_signatures("spark"))
+    banded = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws(",", f"sig{2 * j}", f"sig{2 * j + 1}")).alias(f"c{j}")
+            for j in range(4)
+        ],
+    )
+    sk = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[f"c{j}" for j in range(4)])).alias(
+            "band_no", "band_val"
+        ),
+    ).persist()
+    cand = (
+        sk.alias("x")
+        .join(sk.alias("y"), ["band_no", "band_val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _shingles("spark")
+    d = (
+        spark.table("documents")
+        .filter(F.length("text") - F.length(F.regexp_replace("text", " ", "")) >= 2)
+        .select("doc_id", F.array_distinct(F.expr(sh)).alias("toks"))
+        .persist()
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("double")
+    uni = F.size(F.array_union(F.col("ta"), F.col("tb"))).cast("double")
+    return (
+        cand.join(d.select(F.col("doc_id").alias("doc_a"),
+                           F.col("toks").alias("ta")), "doc_a")
+        .join(d.select(F.col("doc_id").alias("doc_b"),
+                       F.col("toks").alias("tb")), "doc_b")
+        .withColumn("jaccard", F.round(inter / uni, 6))
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def _embed_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,7 +1112,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, builder in _SHARED_QUERIES.items():
         out[name] = _make_sql_query(builder)
     out["canonicalize"] = _canonicalize_spark
-    out["embed_neardup"] = _embed_neardup_spark  # UDF-backed sketch (see above)
+    # DataFrame twins where Spark's CTE inlining would recompute expensive
+    # sketches per UNION branch (oracle SQL unchanged — same result sets)
+    out["embed_neardup"] = _embed_neardup_spark
+    out["minhash_lsh_pairs"] = _minhash_lsh_pairs_spark
+    out["ngram_jaccard"] = _ngram_jaccard_spark
     out["multimodal_decode"] = _multimodal_decode_spark
     out["approx_users"] = _approx_users_spark
     return out
