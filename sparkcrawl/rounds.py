@@ -297,6 +297,13 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         scheduled = passed.select(*FRONTIER_COLS)
         deferred_cap = passed.select(*FRONTIER_COLS).limit(0)
     else:
+        # global top-K: Sort + LocalLimit-per-partition + single-partition
+        # GlobalLimit (shuffle volume ≤ round_size × partitions of slim
+        # rows); repartition immediately so the single partition never
+        # defines downstream parallelism. At extreme round sizes a
+        # threshold-cutoff selection (priority histogram + k-th seq within
+        # the boundary priority) would avoid the single-partition limit —
+        # documented future work; round_size is operator-bounded.
         scheduled = (
             passed.select(*FRONTIER_COLS)
             .orderBy(F.col("priority").desc(), F.col("seq").asc())
@@ -304,8 +311,11 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
             .repartition(par, "url_hash")
             .persist()
         )
+        sched_keys = scheduled.select("canon")
+        if cfg.round_size <= cfg.dedup_broadcast_max:
+            sched_keys = F.broadcast(sched_keys)
         deferred_cap = passed.select(*FRONTIER_COLS).join(
-            F.broadcast(scheduled.select("canon")), "canon", "left_anti"
+            sched_keys, "canon", "left_anti"
         )
     n_sched = min(n_pass, cfg.round_size)
 

@@ -264,3 +264,30 @@ def test_feed_export_roundtrip(spark, crawled, golden, tmp_path_factory):
     assert n2 == n_expected
     backc = spark.read.option("header", True).csv(cdir)
     assert backc.count() == n_expected
+
+
+def test_round_cap_path_equals_oracle(spark, corpus, tmp_path_factory):
+    """Global round cap (O2): round_size below the per-round pass volume
+    forces the orderBy+limit top-K path and the deferred_cap anti-join every
+    round; ordering, seen set, and cap_deferred counters must still match
+    the oracle exactly."""
+    cfg = CrawlConfig(round_size=12, bloom_min_seen=0, max_rounds=30)
+    store_dir = str(tmp_path_factory.mktemp("store_cap"))
+    run_crawl(spark, corpus, store_dir, cfg)
+    o = oracle_crawl(corpus, cfg)
+    store = SnapStore(store_dir)
+    got = spark_rounds(spark, store)
+    for i, g in enumerate(o.rounds):
+        assert got.get(i, []) == g, f"round {i}"
+    seen = {r["canon"] for r in store.read(spark, "seen").select("canon").collect()}
+    assert seen == o.seen
+    # the cap must actually have bound at least once
+    assert any(m["cap_deferred"] > 0 for m in o.metrics)
+    rows = (
+        store.read(spark, "metrics")
+        .filter(F.col("key") == "cap_deferred")
+        .groupBy("round").agg(F.sum("n").alias("n")).collect()
+    )
+    got_cap = {r["round"]: r["n"] for r in rows}
+    for m in o.metrics:
+        assert got_cap.get(m["round"], 0) == m["cap_deferred"], m["round"]
