@@ -63,7 +63,11 @@ def run_crawl_bench(spark) -> dict:
     from sparkcrawl.crawl import run_crawl
 
     corpus = bench_corpus()
-    store = tempfile.mkdtemp(prefix="sparkcrawl_bench_store_")
+    # store on tmpfs: the sandbox VM disk has bursty writeback latency that
+    # adds 10-20% run-to-run noise to the crawl wall (same rationale as the
+    # scaling harness; real clusters run NVMe)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    store = tempfile.mkdtemp(prefix="sparkcrawl_bench_store_", dir=base)
     cfg = CrawlConfig(round_size=4000, max_rounds=10, depth_limit=12)
     try:
         summaries = run_crawl(spark, corpus, store, cfg)

@@ -126,6 +126,29 @@ def label_candidates(cand: DataFrame, cfg: CrawlConfig, salt: bool = True) -> Da
     return out.drop("_salt", "_rn1", "_surv") if salt else out.drop("_surv")
 
 
+def f4_filter_cols(cfg: CrawlConfig, canon_col: str = "canon"):
+    """F4 allow/deny regex + deny_extensions as native boolean Columns over
+    the canonical url — the same regexes the oracle applies in
+    CrawlConfig.link_filter_reason (Java∩Python regex subset, pinned there).
+    All JVM-side; no UDF. Returns ``(ext_bad, regex_bad)``; parity with the
+    python kernel is property-tested in tests/test_f4.py."""
+    ext_re = cfg.ext_deny_regex()
+    if ext_re is None:
+        ext_bad = F.lit(False)
+    else:
+        path = F.regexp_extract(F.col(canon_col), CrawlConfig.PATH_RE, 1)
+        ext_bad = F.lower(path).rlike(ext_re)
+    regex_bad = F.lit(False)
+    if cfg.allow_patterns is not None:
+        allow_ok = F.lit(False)
+        for p in cfg.allow_patterns:
+            allow_ok = allow_ok | F.col(canon_col).rlike(p)
+        regex_bad = regex_bad | ~allow_ok
+    for p in cfg.deny_patterns:
+        regex_bad = regex_bad | F.col(canon_col).rlike(p)
+    return ext_bad, regex_bad
+
+
 def links_to_candidates(fetched: DataFrame, cfg: CrawlConfig, round_n: int) -> DataFrame:
     """Exploded links of fetched pages → frontier-schema candidate rows with
     a ``drop_reason`` column (null = viable). One UDF projection (canon/host),
@@ -157,23 +180,7 @@ def links_to_candidates(fetched: DataFrame, cfg: CrawlConfig, round_n: int) -> D
         host_ok = conds[0]
         for c in conds[1:]:
             host_ok = host_ok | c
-    # F4 allow/deny regex + deny_extensions: native rlike on the canonical
-    # url — same regexes the oracle applies in CrawlConfig.link_filter_reason
-    # (Java∩Python regex subset, pinned there). All JVM-side; no UDF.
-    ext_re = cfg.ext_deny_regex()
-    if ext_re is None:
-        ext_bad = F.lit(False)
-    else:
-        path = F.regexp_extract(F.col("canon"), CrawlConfig.PATH_RE, 1)
-        ext_bad = F.lower(path).rlike(ext_re)
-    regex_bad = F.lit(False)
-    if cfg.allow_patterns is not None:
-        allow_ok = F.lit(False)
-        for p in cfg.allow_patterns:
-            allow_ok = allow_ok | F.col("canon").rlike(p)
-        regex_bad = regex_bad | ~allow_ok
-    for p in cfg.deny_patterns:
-        regex_bad = regex_bad | F.col("canon").rlike(p)
+    ext_bad, regex_bad = f4_filter_cols(cfg)
     drop = (
         F.when(F.col("nofollow") & F.lit(cfg.respect_nofollow), "NOFOLLOW")
         .when(depth > cfg.depth_limit, "DEPTH")

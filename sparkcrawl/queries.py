@@ -253,6 +253,31 @@ def _q_tpch_q6(engine: str) -> str:
     """
 
 
+def _q_tpch_q7(engine: str) -> str:
+    # TPC-H Q7 shape: shipping volume between two nations by year (a nation
+    # table joined twice under different roles — supplier side vs customer
+    # side); YEAR() result cast to INT on both engines (DuckDB's is BIGINT)
+    return """
+      SELECT supp_nation, cust_nation, l_year,
+             CAST(SUM(CAST(ROUND(volume * 100) AS BIGINT)) AS DOUBLE)
+               / CAST(100.0 AS DOUBLE) AS revenue
+      FROM (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+          AND nc.n_name IN ('NATION_1', 'NATION_2')
+          AND ns.n_name <> nc.n_name) t
+      GROUP BY supp_nation, cust_nation, l_year
+    """
+
+
 def _q_tpch_q10(engine: str) -> str:
     # TPC-H Q10: returned-item revenue per customer, top 20 (join + agg +
     # deterministic top-k)
@@ -841,6 +866,7 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "tpch_q5": _q_tpch_q5,
     "tpch_q4": _q_tpch_q4,
     "tpch_q6": _q_tpch_q6,
+    "tpch_q7": _q_tpch_q7,
     "tpch_q10": _q_tpch_q10,
     "tpch_q14": _q_tpch_q14,
     "tpch_q18": _q_tpch_q18,

@@ -117,3 +117,46 @@ def test_f4_media_urls_never_scheduled(spark, crawled):
            if re.search(r"\.(jpg|pdf|zip|mp4)$", r["canon"])
            or "/art.php" in r["canon"]]
     assert bad == []
+
+
+def test_native_f4_exprs_match_python_kernel(spark):
+    """The Spark-native rlike columns (frontier.f4_filter_cols) and the
+    pure-python kernel (CrawlConfig.link_filter_reason) must agree on a
+    battery of tricky canonical urls — guards Java-vs-Python regex
+    divergence in the pinned common subset."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.frontier import f4_filter_cols
+
+    cfg = CrawlConfig(
+        allow_patterns=(r"/p\d+", r"/docs/"),
+        deny_patterns=(r"/private/", r"id=\d{3,}"),
+    )
+    urls = [
+        "http://h.example/p1.html",
+        "http://h.example/docs/a.PDF",
+        "http://h.example/docs/a.pdf?x=1",
+        "http://h.example/p2.jpg",
+        "http://h.example/other.html",
+        "http://h.example/private/p3.html",
+        "http://h.example/p4?id=1234",
+        "http://h.example/p5?id=12",
+        "http://h.example/",
+        "http://h.example",
+        "http://h.example/p6.tar.gz",
+        "http://h.example/p7.html#frag",
+        "http://h.example:8080/p8.webm",
+        "http://h.example/a.b/p9",
+        "http://h.example/p10.jpeg?y=.html",
+        "http://h.example/%7Euser/p11.mp3",
+        "http://h.example/p12.HTML",
+        "http://h.example/p13.Mp4",
+    ]
+    want = [cfg.link_filter_reason(u) for u in urls]
+    ext_bad, regex_bad = f4_filter_cols(cfg)
+    df = spark.createDataFrame([(u,) for u in urls], "canon string").select(
+        "canon",
+        F.when(ext_bad, "EXT").when(regex_bad, "REGEX").alias("reason"),
+    )
+    got = {r["canon"]: r["reason"] for r in df.collect()}
+    assert [got[u] for u in urls] == want, list(zip(urls, want, [got[u] for u in urls]))
