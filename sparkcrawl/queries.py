@@ -1026,6 +1026,76 @@ def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters as connected components over the MinHash-LSH pair
+    graph, plus the survivor (canonical doc) per cluster = min doc_id.
+
+    Spark side: iterative min-label propagation — each iteration is one
+    hash equi-join + groupBy(min), the standard large-scale connected
+    components (O(diameter) rounds; for extreme graphs switch to
+    large-star/small-star, same join shape). Dup clusters have tiny
+    diameter, so this converges in 2-3 rounds. The DuckDB oracle computes
+    the same components with a recursive CTE — an iterative distributed
+    algorithm with a full SQL correctness gate."""
+    from pyspark.sql import functions as F
+
+    pairs = _minhash_lsh_pairs_spark(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .persist()
+    )
+    comp = edges.select(F.col("a").alias("doc")).distinct().withColumn(
+        "comp", F.col("doc")
+    ).persist()
+    while True:
+        # neighbor-min propagation: comp'(v) = min(comp(v), min comp(u) over
+        # edges u→v)
+        prop = (
+            edges.join(comp.withColumnRenamed("doc", "a"), "a")
+            .groupBy(F.col("b").alias("doc"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        nxt = (
+            comp.join(prop, "doc", "left")
+            .select("doc", F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"))
+            .persist()
+        )
+        changed = nxt.join(
+            comp.withColumnRenamed("comp", "old"), "doc"
+        ).filter(F.col("comp") != F.col("old")).limit(1).count()
+        comp.unpersist()
+        comp = nxt
+        if changed == 0:
+            break
+    return comp.select(
+        F.col("doc").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("doc") == F.col("comp")).alias("is_survivor"),
+    )
+
+
+def _q_dedup_components_oracle() -> str:
+    pairs_sql = _q_minhash_lsh_pairs("duckdb")
+    return f"""
+      WITH RECURSIVE
+      p AS (SELECT * FROM ({pairs_sql}) t),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM p
+            UNION SELECT doc_b AS a, doc_a AS b FROM p),
+      reach AS (
+        SELECT a AS doc, b AS other FROM e
+        UNION
+        SELECT r.doc, e2.b FROM reach r JOIN e e2 ON r.other = e2.a
+      )
+      SELECT doc AS doc_id,
+             CAST(LEAST(doc, MIN(other)) AS BIGINT) AS component,
+             doc = LEAST(doc, MIN(other)) AS is_survivor
+      FROM reach GROUP BY doc
+    """
+
+
 def _embed_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame composition instead of the shared-SQL text: the sketch is
     # computed ONCE (a WITH CTE would re-evaluate the UDF per band join),
@@ -1144,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash_lsh_pairs"] = _minhash_lsh_pairs_spark
     out["ngram_jaccard"] = _ngram_jaccard_spark
     out["multimodal_decode"] = _multimodal_decode_spark
+    out["dedup_components"] = _dedup_components_spark
     out["approx_users"] = _approx_users_spark
     return out
 
@@ -1152,5 +1223,6 @@ def oracle_sql() -> dict[str, str]:
     out = {name: builder("duckdb") for name, builder in _SHARED_QUERIES.items()}
     out["canonicalize"] = _q_canonicalize("duckdb")
     out["multimodal_decode"] = _MULTIMODAL_DECODE_ORACLE
+    out["dedup_components"] = _q_dedup_components_oracle()
     # approx_users: HLL estimate — intentionally no oracle (rows-only check)
     return out
