@@ -117,3 +117,28 @@ def test_host_lat_table_matches_oracle_ewma(spark, crawled, golden, corpus):
             o = s // n
             ewma[h] = o if h not in ewma else (o + ewma[h]) // 2
     assert got == ewma
+
+
+def test_adaptive_resume_equals_uninterrupted(spark, corpus, golden, tmp_path_factory):
+    """The host_lat table is part of the round manifest: resuming an
+    adaptive crawl from a round boundary must reproduce the uninterrupted
+    run exactly (EWMA state travels through the checkpoint)."""
+    from dataclasses import replace
+
+    store_dir = str(tmp_path_factory.mktemp("store_at_resume"))
+    run_crawl(spark, corpus, store_dir, replace(CFG, max_rounds=3))
+    run_crawl(spark, corpus, store_dir, CFG, resume=True)
+    store = SnapStore(store_dir)
+    from sparkcrawl.crawl import schedule_view
+
+    rows = (
+        schedule_view(spark, store)
+        .orderBy("round", F.desc("priority"), "seq")
+        .select("round", "canon")
+        .collect()
+    )
+    got: dict[int, list[str]] = {}
+    for r in rows:
+        got.setdefault(r["round"], []).append(r["canon"])
+    for i, g in enumerate(golden.rounds):
+        assert got.get(i, []) == g, f"round {i} after adaptive resume"
