@@ -82,11 +82,16 @@ def load_corpus(corpus_dir: str):
         if "latency_ms" in pages_t.column_names
         else [1000] * pages_t.num_rows  # pinned default, matches prepare_pages
     )
+    stats = (
+        pages_t["status"].to_pylist()
+        if "status" in pages_t.column_names
+        else [200] * pages_t.num_rows  # pinned default, matches prepare_pages
+    )
     pages = {}
-    for url, html, lat in zip(
-        pages_t["url"].to_pylist(), pages_t["html"].to_pylist(), lats
+    for url, html, lat, status in zip(
+        pages_t["url"].to_pylist(), pages_t["html"].to_pylist(), lats, stats
     ):
-        pages[canonicalize_url(url)] = (url, html, int(lat))
+        pages[canonicalize_url(url)] = (url, html, int(lat), int(status))
     seeds_t = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
     seeds = list(zip(seeds_t["url"].to_pylist(), seeds_t["priority"].to_pylist()))
     robots = {}
@@ -135,6 +140,7 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
             "round": rnd, "queued_start": len(queued), "robots_fetched": 0,
             "robots_deferred": 0, "robots_denied": 0, "budget_deferred": 0,
             "cap_deferred": 0, "scheduled": 0, "fetched": 0, "fetch_miss": 0,
+            "http_error": 0,
             "links_extracted": 0, "depth_dropped": 0, "offsite_dropped": 0,
             "nofollow_dropped": 0, "ext_dropped": 0, "regex_dropped": 0,
             "dup_in_batch": 0, "dedup_dropped": 0,
@@ -194,12 +200,20 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
                 r.state = "ERROR"
                 m["fetch_miss"] += 1
                 continue
-            page_url, html, lat_ms = hit
-            r.state = "FETCHED"
-            m["fetched"] += 1
+            page_url, html, lat_ms, status = hit
+            # latency is observed for every corpus hit, 2xx or not (the
+            # server responded either way — pinned, rounds.py mirrors)
             acc = lat_obs.setdefault(r.host, [0, 0])
             acc[0] += lat_ms
             acc[1] += 1
+            if status != 200:
+                # F5 HTTP-status filter (HttpErrorMiddleware semantics):
+                # non-2xx responses are terminal, never extracted/followed
+                r.state = f"HTTP_{status}"
+                m["http_error"] += 1
+                continue
+            r.state = "FETCHED"
+            m["fetched"] += 1
             res.text[r.canon] = extract_text(html)
             links = extract_links(html, page_url)
             m["links_extracted"] += len(links)

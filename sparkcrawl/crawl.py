@@ -29,7 +29,9 @@ def schedule_view(spark: SparkSession, store: SnapStore):
 
     return (
         store.read(spark, "frontier_log")
-        .filter(F.col("state").isin("FETCHED", "ERROR"))
+        # every fetch outcome is a scheduled url: 2xx (FETCHED), corpus miss
+        # (ERROR), and F5 non-2xx (HTTP_<status>); ROBOTS_DENIED was not
+        .filter(F.col("state") != "ROBOTS_DENIED")
         .select(
             "round", "url", "canon", "url_hash", "host", "depth", "priority", "seq"
         )

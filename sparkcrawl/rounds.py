@@ -113,6 +113,12 @@ def prepare_pages(
         if "latency_ms" in pages.columns
         else F.lit(1000).cast("long")
     )
+    # HTTP status (F5); corpora without the column behave as an all-200 web
+    status = (
+        F.col("status").cast("int")
+        if "status" in pages.columns
+        else F.lit(200).cast("int")
+    )
     # ≤1 page per canonical url (the oracle's corpus is a canon-keyed dict);
     # min (url, warc_ts, xxhash64(html)) wins — fully deterministic under any
     # partitioning even when two corpus rows share canon AND url but differ
@@ -131,6 +137,7 @@ def prepare_pages(
             F.col("url").alias("page_url"),
             "html", "warc_ts", "lang",
             lat.alias("latency_ms"),
+            status.alias("status"),
         )
     )
     # small parquet row groups: extraction parallelism is bounded by scan
@@ -327,11 +334,19 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     # broadcast of the fat side). One combined UDF decodes+parses each page
     # once, and the struct lands in the persisted cache so it can never be
     # re-evaluated by downstream projections.
+    # F5 HTTP-status filter: non-2xx hits are fetched (politeness/latency
+    # accounting still applies) but never extracted — their html is nulled
+    # BEFORE the UDF so the python stage pays nothing for them and their
+    # link list is empty by construction (HttpErrorMiddleware semantics).
     fetched = (
         pages_idx.select(
-            "bucket", "url_hash", "canon", "page_url", "html", "latency_ms"
+            "bucket", "url_hash", "canon", "page_url", "html", "latency_ms",
+            "status",
         )
         .join(F.broadcast(keys), ["bucket", "url_hash", "canon"], "inner")
+        .withColumn(
+            "html", F.when(F.col("status") == 200, F.col("html"))
+        )
         .withColumn("page", extract_page_udf("html", "page_url"))
         .drop("html")
         .persist()
@@ -492,7 +507,7 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     def _w_extracted():
         return store.append(
             "extracted",
-            fetched.select(
+            fetched.filter(F.col("status") == 200).select(
                 F.lit(round_n).alias("round"), "url", "canon", "url_hash",
                 F.col("page.text").alias("text"),
                 F.size("page.links").alias("n_links"),
@@ -524,9 +539,18 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         )
         return store.overwrite("frontier", new_frontier)
 
+    log_obs = Observation()
+
     def _w_log():
         log = (
-            fetched.select(*FRONTIER_COLS).withColumn("state", F.lit("FETCHED"))
+            fetched.select(*FRONTIER_COLS, "status")
+            .withColumn(
+                "state",
+                F.when(F.col("status") == 200, F.lit("FETCHED")).otherwise(
+                    F.concat(F.lit("HTTP_"), F.col("status"))
+                ),
+            )
+            .drop("status")
             .unionByName(missed.withColumn("state", F.lit("ERROR")))
             .unionByName(
                 work.filter(F.col("verdict") == "robots_denied")
@@ -534,6 +558,13 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
                 .withColumn("state", F.lit("ROBOTS_DENIED"))
             )
             .withColumn("round", F.lit(round_n).cast("int"))
+            .observe(
+                log_obs,
+                F.sum(F.when(F.col("state") == "FETCHED", 1).otherwise(0)).alias("ok"),
+                F.sum(
+                    F.when(F.col("state").startswith("HTTP_"), 1).otherwise(0)
+                ).alias("http_err"),
+            )
             .repartition(max(2, par // 8))
         )
         return store.append("frontier_log", log, parent=snaps.get("frontier_log"))
@@ -583,9 +614,12 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         counts.append(("robots_fetched", -1, int(robots_obs.get["n"])))
     else:
         robots_snap = snaps["robots"]  # unchanged — re-commit the same snapshot
-    n_fetched = int(ext_obs.get["n"])
+    n_fetched = int(log_obs.get["ok"] or 0)
+    n_http_err = int(log_obs.get["http_err"] or 0)
+    assert n_fetched == int(ext_obs.get["n"])  # extracted rows == 2xx hits
     counts.append(("fetched", -1, n_fetched))
-    counts.append(("fetch_miss", -1, n_sched - n_fetched))
+    counts.append(("http_error", -1, n_http_err))
+    counts.append(("fetch_miss", -1, n_sched - n_fetched - n_http_err))
     _tick("table_writes")
 
     # metrics: already collected driver-side (tiny) → write without a job

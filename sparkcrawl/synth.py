@@ -72,7 +72,7 @@ def _gen_host(args) -> tuple[list, list, list, list, list]:
     (seed, i, n_hosts, pages_per_host, n_links_lo, n_links_hi, n_paras_lo,
      n_paras_hi, media_rate) = args
     hot = 0  # host 0 is the hot host (skew target)
-    urls, tss, htmls, texts, langs, lats = [], [], [], [], [], []
+    urls, tss, htmls, texts, langs, lats, statuses = [], [], [], [], [], [], []
     for j in range(pages_per_host):
         rng = random.Random(seed * 1_000_003 + i * 7919 + j)
         url = page_url(i, j)
@@ -129,7 +129,11 @@ def _gen_host(args) -> tuple[list, list, list, list, list]:
         lats.append(
             50 + (xxh64_str(host_name(i)) % 10) * 100 + xxh64_str(url) % 200
         )
-    return urls, tss, htmls, texts, langs, lats
+        # deterministic HTTP status (F5): ~3% 404, ~3% 500, else 200 —
+        # derived from a salted url hash, so no rng-stream change
+        sb = xxh64_str(url + "#status") % 33
+        statuses.append(404 if sb == 7 else 500 if sb == 8 else 200)
+    return urls, tss, htmls, texts, langs, lats, statuses
 
 
 def generate(
@@ -162,10 +166,10 @@ def generate(
             parts = pool.map(_gen_host, tasks, chunksize=max(1, n_hosts // (procs * 4)))
     else:
         parts = [_gen_host(t) for t in tasks]
-    urls, tss, htmls, texts, langs, lats = [], [], [], [], [], []
-    for u, t, h, x, l, la in parts:
+    urls, tss, htmls, texts, langs, lats, statuses = [], [], [], [], [], [], []
+    for u, t, h, x, l, la, st in parts:
         urls.extend(u); tss.extend(t); htmls.extend(h); texts.extend(x)
-        langs.extend(l); lats.extend(la)
+        langs.extend(l); lats.extend(la); statuses.extend(st)
 
     pages = pa.table(
         {
@@ -175,6 +179,7 @@ def generate(
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs, pa.string()),
             "latency_ms": pa.array(lats, pa.int64()),
+            "status": pa.array(statuses, pa.int32()),
         }
     )
     pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))

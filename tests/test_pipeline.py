@@ -99,10 +99,13 @@ def test_metrics_match_oracle(spark, crawled, golden):
         for key in (
             "queued_start", "robots_fetched", "robots_deferred", "robots_denied",
             "budget_deferred", "cap_deferred", "scheduled", "fetched",
-            "fetch_miss", "links_extracted", "nofollow_dropped", "depth_dropped",
-            "offsite_dropped", "dup_in_batch", "dedup_dropped", "enqueued",
+            "fetch_miss", "http_error", "links_extracted", "nofollow_dropped",
+            "depth_dropped", "offsite_dropped", "dup_in_batch",
+            "dedup_dropped", "enqueued",
         ):
             assert got.get(rnd, {}).get(key, 0) == m[key], (rnd, key)
+    # the corpus's non-2xx pages must actually exercise the F5 path
+    assert sum(m["http_error"] for m in golden.metrics) > 0
 
 
 def test_frontier_log_states(spark, crawled, golden):
