@@ -142,7 +142,8 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
             "cap_deferred": 0, "scheduled": 0, "fetched": 0, "fetch_miss": 0,
             "http_error": 0,
             "links_extracted": 0, "depth_dropped": 0, "offsite_dropped": 0,
-            "nofollow_dropped": 0, "ext_dropped": 0, "regex_dropped": 0,
+            "nofollow_dropped": 0, "url_guard_dropped": 0, "ext_dropped": 0,
+            "regex_dropped": 0,
             "dup_in_batch": 0, "dedup_dropped": 0,
             "enqueued": 0,
         }
@@ -228,6 +229,7 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
                 if len(lk.url) > cfg.url_length_limit or not lk.url.startswith(
                     ("http://", "https://")
                 ):
+                    m["url_guard_dropped"] += 1
                     continue
                 canon = canonicalize_url(lk.url)
                 # F4 allow/deny regex + deny_extensions (pinned order:

@@ -123,6 +123,21 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    # validate --export before running the crawl: a bad FMT:DIR must fail in
+    # argparse-time, not after the whole run (ADVICE r2)
+    export_fmt = export_dir = None
+    if args.export:
+        from sparkcrawl.export import EXPORT_FORMATS
+
+        if ":" not in args.export:
+            ap.error(f"--export wants FMT:DIR, got {args.export!r}")
+        export_fmt, export_dir = args.export.split(":", 1)
+        if export_fmt not in EXPORT_FORMATS or not export_dir:
+            ap.error(
+                f"--export FMT must be one of {EXPORT_FORMATS} and DIR "
+                f"non-empty, got {args.export!r}"
+            )
+
     cfg = CrawlConfig(
         round_size=args.round_size,
         max_rounds=args.max_rounds,
@@ -141,12 +156,13 @@ def main() -> None:
             f"done: rounds={len(summaries)} scheduled={total_sched} "
             f"throughput={total_sched / (total_ms / 1000):.1f} urls/s"
         )
-        if args.export:
+        if export_fmt:
             from sparkcrawl.export import export_extracted
 
-            fmt, out = args.export.split(":", 1)
-            n = export_extracted(spark, SnapStore(args.store_dir), out, fmt)
-            print(f"exported {n} rows to {out} ({fmt})")
+            n = export_extracted(
+                spark, SnapStore(args.store_dir), export_dir, export_fmt
+            )
+            print(f"exported {n} rows to {export_dir} ({export_fmt})")
     finally:
         spark.stop()
 

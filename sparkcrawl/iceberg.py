@@ -82,7 +82,19 @@ class IcebergSnapStore:
     def append(self, table: str, df: DataFrame, partition_by=None, meta=None,
                parent: int | str = "latest") -> int:
         tid = self._id(table)
-        if parent not in (None, "latest"):
+        if parent is None:
+            # SnapStore contract: parent=None starts a FRESH chain, orphaning
+            # all prior snapshots — init_crawl relies on this so a retried
+            # init never inherits a crashed attempt's orphan seed rows
+            # (ADVICE r2). createOrReplace = truncate-and-write atomically.
+            w = df.writeTo(tid)
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            return self.latest(table)
+        if parent != "latest":
             # crashed-attempt retry: pin back to the last committed round's
             # snapshot so orphan snapshots are never silently inherited
             self.spark.sql(

@@ -53,6 +53,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
+# Persisted intermediates of the DataFrame-twin queries (banded sketches,
+# shingle sets, component frontiers). They must stay cached until the
+# harness materializes the returned DataFrame, so each twin RELEASES the
+# previous twin's cache at its own start instead of unpersisting eagerly —
+# executor storage is bounded by one query's working set across the bench's
+# headline-suite loop (ADVICE r2).
+_TRACKED_CACHE: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df.persist()
+    _TRACKED_CACHE.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every intermediate cached by prior DataFrame-twin queries
+    (safe once their results are materialized; recompute-on-demand covers
+    stragglers)."""
+    while _TRACKED_CACHE:
+        _TRACKED_CACHE.pop().unpersist()
+
+
 # ---------------------------------------------------------------------------
 # shared-SQL query definitions: name → SQL builder(engine) -> str
 # engine ∈ {"spark", "duckdb"}; identical output schema required
@@ -812,7 +835,10 @@ def _q_link_filter(engine: str) -> str:
     # non-denied, non-media urls (same regex semantics as
     # CrawlConfig.link_filter_reason / frontier.links_to_candidates)
     if engine == "spark":
-        rx = lambda col, pat: f"{col} rlike '{pat}'"
+        # Spark SQL string literals eat single backslashes ('\.' → '.'), so
+        # double them to keep the regex the engine runs identical to the
+        # oracle's (ADVICE r2: a url ending 'xzip' would otherwise diverge)
+        rx = lambda col, pat: f"{col} rlike '" + pat.replace("\\", "\\\\") + "'"
     else:
         rx = lambda col, pat: f"regexp_matches({col}, '{pat}')"
     ext = (
@@ -959,6 +985,7 @@ def _minhash_lsh_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the compound band key — one shuffle, same result set.
     from pyspark.sql import functions as F
 
+    release_cached()
     register_views(spark, sf_dir)
     sigs = spark.sql(_q_minhash_signatures("spark"))
     banded = sigs.select(
@@ -966,9 +993,12 @@ def _minhash_lsh_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(",", "sig0", "sig1", "sig2", "sig3")).alias("b0"),
         F.md5(F.concat_ws(",", "sig4", "sig5", "sig6", "sig7")).alias("b1"),
     )
-    sk = banded.select(
-        "doc_id", F.posexplode(F.array("b0", "b1")).alias("band_no", "band_val")
-    ).persist()
+    sk = _persist_tracked(
+        banded.select(
+            "doc_id",
+            F.posexplode(F.array("b0", "b1")).alias("band_no", "band_val"),
+        )
+    )
     return (
         sk.alias("x")
         .join(sk.alias("y"), ["band_no", "band_val"])
@@ -984,6 +1014,7 @@ def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sets, single candidate equi-join, exact Jaccard on candidates only.
     from pyspark.sql import functions as F
 
+    release_cached()
     register_views(spark, sf_dir)
     sigs = spark.sql(_q_minhash_signatures("spark"))
     banded = sigs.select(
@@ -993,12 +1024,14 @@ def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(4)
         ],
     )
-    sk = banded.select(
-        "doc_id",
-        F.posexplode(F.array(*[f"c{j}" for j in range(4)])).alias(
-            "band_no", "band_val"
-        ),
-    ).persist()
+    sk = _persist_tracked(
+        banded.select(
+            "doc_id",
+            F.posexplode(F.array(*[f"c{j}" for j in range(4)])).alias(
+                "band_no", "band_val"
+            ),
+        )
+    )
     cand = (
         sk.alias("x")
         .join(sk.alias("y"), ["band_no", "band_val"])
@@ -1007,11 +1040,10 @@ def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sh = _shingles("spark")
-    d = (
+    d = _persist_tracked(
         spark.table("documents")
         .filter(F.length("text") - F.length(F.regexp_replace("text", " ", "")) >= 2)
         .select("doc_id", F.array_distinct(F.expr(sh)).alias("toks"))
-        .persist()
     )
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("double")
     uni = F.size(F.array_union(F.col("ta"), F.col("tb"))).cast("double")
@@ -1040,36 +1072,50 @@ def _dedup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     pairs = _minhash_lsh_pairs_spark(spark, sf_dir)
-    edges = (
+    edges = _persist_tracked(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
         )
-        .persist()
     )
-    comp = edges.select(F.col("a").alias("doc")).distinct().withColumn(
-        "comp", F.col("doc")
-    ).persist()
+    comp = _persist_tracked(
+        edges.select(F.col("a").alias("doc")).distinct().withColumn(
+            "comp", F.col("doc")
+        )
+    )
+    it = 0
     while True:
         # neighbor-min propagation: comp'(v) = min(comp(v), min comp(u) over
-        # edges u→v)
+        # edges u→v). The changed flag rides the SAME aggregation output, so
+        # each iteration is exactly ONE job: the sum() action materializes
+        # the persisted nxt and returns the convergence signal together
+        # (VERDICT r2 #8 — no extra limit/count job per iteration).
         prop = (
             edges.join(comp.withColumnRenamed("doc", "a"), "a")
             .groupBy(F.col("b").alias("doc"))
             .agg(F.min("comp").alias("ncomp"))
         )
-        nxt = (
-            comp.join(prop, "doc", "left")
-            .select("doc", F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"))
-            .persist()
+        nxt = _persist_tracked(
+            comp.join(prop, "doc", "left").select(
+                "doc",
+                F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"),
+                (F.coalesce("ncomp", "comp") < F.col("comp"))
+                .cast("long")
+                .alias("_chg"),
+            )
         )
-        changed = nxt.join(
-            comp.withColumnRenamed("comp", "old"), "doc"
-        ).filter(F.col("comp") != F.col("old")).limit(1).count()
-        comp.unpersist()
-        comp = nxt
+        changed = int(nxt.agg(F.sum("_chg")).collect()[0][0] or 0)
+        comp.unpersist()  # superseded frontier (tracked release is a no-op)
+        comp = nxt.select("doc", "comp")  # reuses nxt's cache
+        it += 1
         if changed == 0:
             break
+        if it % 3 == 0:
+            # bound lineage depth on high-diameter graphs: without this the
+            # plan grows one join per iteration (fine for 2-3-round dup
+            # clusters, O(diameter) otherwise). For truly adversarial graphs
+            # switch to large-star/small-star — same join shape.
+            comp = _persist_tracked(comp.localCheckpoint(eager=True))
     return comp.select(
         F.col("doc").alias("doc_id"),
         F.col("comp").alias("component"),

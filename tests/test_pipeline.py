@@ -100,6 +100,7 @@ def test_metrics_match_oracle(spark, crawled, golden):
             "queued_start", "robots_fetched", "robots_deferred", "robots_denied",
             "budget_deferred", "cap_deferred", "scheduled", "fetched",
             "fetch_miss", "http_error", "links_extracted", "nofollow_dropped",
+            "url_guard_dropped", "ext_dropped", "regex_dropped",
             "depth_dropped", "offsite_dropped", "dup_in_batch",
             "dedup_dropped", "enqueued",
         ):

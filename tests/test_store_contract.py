@@ -97,3 +97,7 @@ def test_iceberg_adapter_seam(spark):
     s2 = store.append("t_contract", _df(spark, [(2, "b")]))
     assert store.read(spark, "t_contract", s1).count() == 1
     assert store.read(spark, "t_contract", s2).count() == 2
+    # parent=None starts a fresh chain (ADVICE r2): prior rows must vanish
+    s3 = store.append("t_contract", _df(spark, [(9, "z")]), parent=None)
+    got = {r["k"] for r in store.read(spark, "t_contract", s3).collect()}
+    assert got == {9}
