@@ -82,8 +82,12 @@ class CrawlConfig:
     # --- layout knobs (promoted from frontier.py module constants, r1 #9) ---
     # n_buckets: url_hash bucket count for the seen/pages hive layout; scale
     # with the corpus so each bucket's bloom blob holds ~n_keys/n_buckets at
-    # ~1% FPP (≈ 10 bits/key: 10^10 keys → n_buckets·bits_per_bucket ≈
-    # 1.2 GB total, e.g. n_buckets=4096 × 32 MiB blobs).
+    # ~1% FPP (≈ 10 bits/key). Design-point arithmetic (corrected r3 — the
+    # old comment was off by 10×): 10^10 keys × 10 bits = 10^11 bits
+    # ≈ 12.5 GB of filter TOTAL; at n_buckets = 4096 that is ~3 MiB per
+    # bucket blob. 12.5 GB never moves whole: the probe and the OR-merge are
+    # bucket-cogrouped (seenfilter.py), so each task touches exactly one
+    # ~3 MiB blob and the driver handles only snapshot ids.
     # salt_n: salt fan-out for the hot-host budget window (P5) — bound the
     # biggest single host's queue to ~rows_per_task × salt_n.
     n_buckets: int = 32

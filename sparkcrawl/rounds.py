@@ -18,7 +18,10 @@ Scale notes (the 10^10-URL design point):
   per-bucket filters reject skip the exact check; only the maybe-seen
   fraction consults the exact ``seen`` table, via broadcast semi-join that
   streams (never shuffles) the seen scan. The exact join stays
-  authoritative — filter false positives cannot drop URLs.
+  authoritative — filter false positives cannot drop URLs. The sidecar is a
+  bucket-keyed Spark table probed AND rebuilt via per-bucket cogroups — no
+  whole-sidecar collect/broadcast anywhere (at the design point the full
+  sidecar is ~12.5 GB; a bucket blob is ~3 MiB)
 - the per-host budget window is salted two-phase (frontier.py) so one hot
   host cannot pin a single task (P5)
 - ``html`` is projected away immediately after the extraction UDFs (F6);
@@ -55,11 +58,9 @@ from sparkcrawl.frontier import (
     with_bucket,
 )
 from sparkcrawl.seenfilter import (
-    build_bucket_blobs,
-    make_probe_udf,
-    merged_sidecar,
-    sidecar_from_arrow,
-    sidecar_to_arrow,
+    empty_sidecar,
+    merge_bucket_blobs,
+    probe_partitioned,
 )
 from sparkcrawl.snapstore import SnapStore
 from sparkcrawl.udfs import extract_page_udf, robots_allowed_udf
@@ -72,14 +73,6 @@ METRICS_SCHEMA = _T.StructType(
         _T.StructField("n", _T.LongType()),
     ]
 )
-
-SIDECAR_SPARK_SCHEMA = _T.StructType(
-    [
-        _T.StructField("bucket", _T.IntegerType()),
-        _T.StructField("filter", _T.BinaryType()),
-    ]
-)
-
 
 def _verdict_counts(df: DataFrame, verdict_col: str) -> list[tuple[str, int, int]]:
     """Collect (verdict, partition_id, n) triples in ONE job."""
@@ -174,13 +167,10 @@ def init_crawl(spark: SparkSession, store: SnapStore, seeds_path: str,
     s_snap = store.append("seen", seen, partition_by=["bucket"], parent=None)
     tables = {"frontier": f_snap, "seen": s_snap}
     if cfg.dedup_bloom and n_seeds >= cfg.bloom_min_seen:
-        blob_rows = build_bucket_blobs(
-            fr, cfg.bloom_bits_per_bucket, cfg.bloom_k
-        ).collect()
-        blobs = merged_sidecar(None, [(r["bucket"], bytes(r["filter"])) for r in blob_rows])
-        tables["seen_filter"] = store.overwrite_local(
-            "seen_filter", sidecar_to_arrow(blobs), SIDECAR_SPARK_SCHEMA
+        blobs = merge_bucket_blobs(
+            fr, empty_sidecar(spark), cfg.bloom_bits_per_bucket, cfg.bloom_k
         )
+        tables["seen_filter"] = store.overwrite("seen_filter", blobs)
     empty_robots = spark.createDataFrame(
         [], "host string, status int, body string, fetched_round int"
     )
@@ -376,7 +366,7 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         "bucket", "url_hash", "canon"
     )
     use_bloom = cfg.dedup_bloom and seen_total >= cfg.bloom_min_seen
-    old_blobs: dict[int, bytes] | None = None
+    sidecar_prev: DataFrame | None = None
     cand0 = with_bucket(
         links_to_candidates(
             fetched.withColumn("links", F.col("page.links")), cfg, round_n
@@ -419,13 +409,18 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
 
     have_sidecar = "seen_filter" in snaps
     if use_bloom and have_sidecar:
-        old_blobs = sidecar_from_arrow(
-            store.read_local("seen_filter", snaps["seen_filter"])
+        # bucket-partitioned probe (VERDICT r2 #1): the sidecar is a normal
+        # Spark table; candidates cogroup with it on bucket so each task
+        # loads ONLY its bucket's blob — no driver collect, no whole-sidecar
+        # broadcast (~12.5 GB at the 10^10 design point). The cogroup
+        # exchange ships slim rank-1 candidate rows + one blob per bucket.
+        sidecar_prev = store.read(spark, "seen_filter", snaps["seen_filter"])
+        probe_schema = _T.StructType(
+            rank1.schema.fields + [_T.StructField("_maybe", _T.BooleanType())]
         )
-        probe, probe_bc = make_probe_udf(spark, old_blobs)
         # exact check ONLY for bloom-positive rows. rank1 is persisted so
         # its consumers share one materialization of the aggregation.
-        rank1 = rank1.withColumn("_maybe", probe("bucket", "url_hash")).persist()
+        rank1 = probe_partitioned(rank1, sidecar_prev, probe_schema).persist()
         if n_viable <= cfg.dedup_broadcast_max:
             # broadcast the maybe-keys to stream (never shuffle) the seen
             # scan, broadcast the confirmed dups back
@@ -464,13 +459,6 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         F.when(F.col("_seen").isNotNull(), "dedup_dropped").otherwise("enqueued"),
     ).persist()
     link_counts = _verdict_counts(labeled1, "status")
-    if use_bloom and have_sidecar:
-        # labeled1 is materialized → the probe stage ran; release this
-        # round's sidecar broadcast from the executors so stale blobs never
-        # accumulate (unpersist, not destroy: a cache eviction could force
-        # the probe lineage to recompute, which re-broadcasts on demand; the
-        # driver-side copy is garbage-collected when the round ends)
-        probe_bc.unpersist()
     counts.extend(link_counts)
     # in-batch duplicates = viable rows minus canon-level winners; the
     # duplicate rows themselves are never used, only counted
@@ -479,28 +467,7 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     _tick("linkwork")
     fresh = labeled1.filter(F.col("status") == "enqueued")
 
-    # --- bloom sidecar update: per-bucket blobs for fresh keys, OR-merged ---
-    filter_snap = None
-    if use_bloom:
-        base = fresh.select("bucket", "url_hash")
-        if not have_sidecar:
-            # first activation (seen just crossed bloom_min_seen, or store
-            # initialized with bloom off): backfill from the FULL seen set —
-            # a partial sidecar would produce false negatives, which the
-            # design forbids
-            base = base.unionByName(seen_keys.select("bucket", "url_hash"))
-        blob_rows = build_bucket_blobs(
-            base, cfg.bloom_bits_per_bucket, cfg.bloom_k
-        ).collect()
-        merged = merged_sidecar(
-            old_blobs, [(r["bucket"], bytes(r["filter"])) for r in blob_rows]
-        )
-        filter_snap = store.overwrite_local(
-            "seen_filter", sidecar_to_arrow(merged), SIDECAR_SPARK_SCHEMA
-        )
-        _tick("bloom_sidecar")
-
-    # --- commits: four independent table writes run concurrently (driver
+    # --- commits: the independent table writes run concurrently (driver
     #     threads; every input is cached, every target table distinct) ---
     ext_obs = Observation()
 
@@ -597,7 +564,25 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
             parent=snaps["robots"],
         )
 
-    with ThreadPoolExecutor(max_workers=6) as pool:
+    def _w_filter():
+        # bloom sidecar update (VERDICT r2 #1): fresh keys cogroup with the
+        # previous sidecar on bucket and OR-merge INSIDE the grouped-map —
+        # per-bucket end to end, the driver only records the snapshot id
+        base = fresh.select("bucket", "url_hash")
+        old_sc = sidecar_prev
+        if not have_sidecar:
+            # first activation (seen just crossed bloom_min_seen, or store
+            # initialized with bloom off): backfill from the FULL seen set —
+            # a partial sidecar would produce false negatives, which the
+            # design forbids
+            base = base.unionByName(seen_keys.select("bucket", "url_hash"))
+            old_sc = empty_sidecar(spark)
+        merged = merge_bucket_blobs(
+            base, old_sc, cfg.bloom_bits_per_bucket, cfg.bloom_k
+        )
+        return store.overwrite("seen_filter", merged)
+
+    with ThreadPoolExecutor(max_workers=7) as pool:
         futs = {
             "extracted": pool.submit(_w_extracted),
             "seen": pool.submit(_w_seen),
@@ -608,7 +593,10 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
             futs["host_lat"] = pool.submit(_w_host_lat)
         if cfg.obey_robots:
             futs["robots"] = pool.submit(_w_robots)
+        if use_bloom:
+            futs["seen_filter"] = pool.submit(_w_filter)
         snap_ids = {k: f.result() for k, f in futs.items()}
+    filter_snap = snap_ids.get("seen_filter")
     if cfg.obey_robots:
         robots_snap = snap_ids["robots"]
         counts.append(("robots_fetched", -1, int(robots_obs.get["n"])))
