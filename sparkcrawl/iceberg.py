@@ -32,8 +32,15 @@ Verb mapping (SnapStore → Iceberg, all public API):
 |                                | replaces the hive ``bucket`` column; the  |
 |                                | dedup join keys stay (url_hash, canon)    |
 |                                | and storage-partitioned joins line up     |
-| bloom sidecar (``*_local``)    | unchanged — KiB-scale blobs ride a normal |
-|                                | Iceberg table or the round manifest       |
+| ``expire_snapshots(t, N)``     | ``CALL cat.system.expire_snapshots(      |
+|                                | table => id, retain_last => N)`` (also    |
+|                                | cleans crashed-attempt orphan files via   |
+|                                | ``remove_orphan_files``)                  |
+| ``compact(spark, t)``          | ``CALL cat.system.rewrite_data_files(    |
+|                                | table => id)``                            |
+| bloom sidecar                  | a normal bucket-keyed Iceberg table       |
+|                                | (probed/merged via per-bucket cogroups —  |
+|                                | sparkcrawl/seenfilter.py)                 |
 
 Everything below is a thin functional skeleton of that mapping. It raises
 a clear error in environments without an Iceberg catalog (like this
@@ -122,6 +129,24 @@ class IcebergSnapStore:
             spark.read.option("snapshot-id", int(snapshot_id))
             .table(self._id(table))
         )
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
+        self.spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots"
+            f"(table => '{self.namespace}.{table}', retain_last => {int(keep_last)})"
+        )
+        self.spark.sql(
+            f"CALL {self.catalog}.system.remove_orphan_files"
+            f"(table => '{self.namespace}.{table}')"
+        )
+        return {"removed_snapshots": [], "removed_dirs": []}  # ids not surfaced
+
+    def compact(self, spark: SparkSession, table: str) -> int:
+        self.spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files"
+            f"(table => '{self.namespace}.{table}')"
+        )
+        return self.latest(table)
 
     def snapshots(self, table: str) -> list[int]:
         rows = self.spark.sql(

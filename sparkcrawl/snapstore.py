@@ -28,6 +28,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -218,6 +219,51 @@ class SnapStore:
 
     def exists(self, table: str) -> bool:
         return self.latest(table) is not None
+
+    # ----- maintenance: snapshot expiry + small-file compaction -----
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots and delete every
+        data dir no kept snapshot references — including ORPHANED dirs that
+        have no manifest at all (a crashed round attempt writes data, then
+        dies before the manifest rename; retry semantics orphan it forever).
+        Iceberg analogue: ``CALL system.expire_snapshots``. Without this the
+        append-chain file list and crash junk grow monotonically (VERDICT r2
+        #5). Time travel to expired snapshots (and round manifests pinned to
+        them) intentionally stops working — that IS expiry semantics.
+        Returns {"removed_snapshots": [...], "removed_dirs": [...]}."""
+        snaps = self.snapshots(table)
+        keep = snaps[-keep_last:] if keep_last > 0 else []
+        live: set[str] = set()
+        for s in keep:
+            live.update(self._load_manifest(table, s)["files"])
+        removed_dirs: list[str] = []
+        data_root = os.path.join(self._tdir(table), "data")
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                rel = os.path.join("data", d)
+                if rel not in live:
+                    shutil.rmtree(os.path.join(data_root, d))
+                    removed_dirs.append(rel)
+        removed_snaps = [s for s in snaps if s not in keep]
+        for s in removed_snaps:
+            os.remove(self._manifest_path(table, s))
+        return {"removed_snapshots": removed_snaps, "removed_dirs": removed_dirs}
+
+    def compact(self, spark: SparkSession, table: str) -> int:
+        """Rewrite the current snapshot's (possibly long) data-dir chain into
+        ONE fresh data dir and commit it as a new overwrite snapshot —
+        row-identical by construction, read-equal before/after. Iceberg
+        analogue: ``rewrite_data_files``. Append-heavy tables (seen,
+        frontier_log: one dir per round) read one dir afterwards; pair with
+        :meth:`expire_snapshots` to reclaim the superseded chain."""
+        snap = self.latest(table)
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot for table {table!r}")
+        man = self._load_manifest(table, snap)
+        df = self.read(spark, table, snap)
+        return self.overwrite(
+            table, df, partition_by=man["partition_by"] or None
+        )
 
     # ----- round-level multi-table commit (the resume point) -----
     def commit_round(self, round_n: int, table_snaps: dict[str, int],

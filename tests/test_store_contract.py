@@ -82,6 +82,68 @@ def test_local_commit_interops_with_spark_read(spark, store):
     assert store.read_local("t", s1).num_rows == 1
 
 
+def test_expire_snapshots_keeps_live_reads_and_removes_orphans(spark, store, tmp_path):
+    """Expiry must delete superseded + orphaned data dirs while the kept
+    snapshot reads identically (VERDICT r2 #5)."""
+    import os
+
+    s1 = store.append("t", _df(spark, [(1, "a")]))
+    store.append("t", _df(spark, [(66, "junk")]))  # will be orphaned
+    s3 = store.append("t", _df(spark, [(2, "b")]), parent=s1)
+    before = {tuple(r) for r in store.read(spark, "t", s3).collect()}
+    # simulate a crashed attempt: data dir with no manifest at all
+    orphan = os.path.join(store._tdir("t"), "data", "99999999-deadbeef")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "wb").close()
+    res = store.expire_snapshots("t", keep_last=1)
+    assert store.snapshots("t") == [s3]
+    assert "data/99999999-deadbeef" in res["removed_dirs"]
+    after = {tuple(r) for r in store.read(spark, "t", s3).collect()}
+    assert after == before == {(1, "a"), (2, "b")}
+    # every remaining data dir is referenced by the kept snapshot
+    live = set(store._load_manifest("t", s3)["files"])
+    on_disk = {
+        os.path.join("data", d)
+        for d in os.listdir(os.path.join(store._tdir("t"), "data"))
+    }
+    assert on_disk == live
+
+
+def test_compact_then_read_equality(spark, store):
+    """Compaction rewrites an N-dir append chain into one dir with identical
+    rows; expiry afterwards reclaims the old chain."""
+    import os
+
+    for i in range(5):
+        store.append("t", _df(spark, [(i, f"v{i}")]), partition_by=None)
+    before = sorted(tuple(r) for r in store.read(spark, "t").collect())
+    n_dirs_before = len(os.listdir(os.path.join(store._tdir("t"), "data")))
+    snap = store.compact(spark, "t")
+    assert sorted(tuple(r) for r in store.read(spark, "t", snap).collect()) == before
+    assert len(store._load_manifest("t", snap)["files"]) == 1
+    store.expire_snapshots("t", keep_last=1)
+    assert len(os.listdir(os.path.join(store._tdir("t"), "data"))) == 1
+    assert sorted(tuple(r) for r in store.read(spark, "t").collect()) == before
+    assert n_dirs_before == 5
+
+
+def test_compact_partitioned_table(spark, store):
+    df = spark.createDataFrame(
+        [(i % 3, i, f"v{i}") for i in range(12)], "bucket int, k int, v string"
+    )
+    store.append("t", df, partition_by=["bucket"])
+    store.append("t", df.filter("k < 3"), partition_by=["bucket"])
+    before = sorted(
+        (r["bucket"], r["k"], r["v"]) for r in store.read(spark, "t").collect()
+    )
+    snap = store.compact(spark, "t")
+    after = sorted(
+        (r["bucket"], r["k"], r["v"])
+        for r in store.read(spark, "t", snap).collect()
+    )
+    assert after == before
+
+
 def test_iceberg_adapter_seam(spark):
     """In this sandbox the adapter must refuse loudly; with a configured
     catalog (env SPARKCRAWL_ICEBERG_CATALOG) it must pass the same verbs."""
