@@ -925,6 +925,85 @@ def _make_sql_query(builder: Callable[[str], str]):
     return run
 
 
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once IVF coarse index: (label, dim, c) per-dimension centroids,
+    persisted as a tiny parquet table keyed by the embeddings file identity
+    (VERDICT r2 #4 — at 100 TB the centroid table must be precomputed once,
+    not re-derived by exploding the full embeddings table inside every probe
+    query; in the crawl deployment this would be a SnapStore/Iceberg table
+    committed by an index-build job). The centroid arithmetic is the exact
+    integer-fixed-point formula the DuckDB oracle computes inline, so probe
+    results are bit-identical to the oracle's."""
+    import hashlib
+    import os
+
+    cached = _IVF_INDEX_CACHE.get(sf_dir)
+    if cached:
+        return cached
+    src = f"{sf_dir}/embeddings.parquet"
+    ident = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+    path = "/dev/shm/sparkcrawl_ivf_" + hashlib.md5(ident.encode()).hexdigest()[:12]
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark.read.parquet(src).createOrReplaceTempView("embeddings")
+        spark.sql(
+            """
+            SELECT label, pos AS dim,
+                   CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT))
+                        AS DOUBLE)
+                     / CAST(1000000.0 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+            FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, val
+            GROUP BY label, pos
+            """
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+    _IVF_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+def _ann_ivf_multiprobe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe=3 against the PERSISTED centroid index: the probe plan
+    explodes only the single query vector and joins the ~(labels×64)-row
+    index table — the full-embeddings posexplode lives in the one-time
+    index build (:func:`_ivf_index_path`), not in the query. The DuckDB
+    oracle computes the same centroids inline; results are bit-identical
+    (same fixed-point formula)."""
+    idx = _ivf_index_path(spark, sf_dir)
+    register_views(spark, sf_dir)
+    spark.read.parquet(idx).createOrReplaceTempView("ivf_centroids")
+    cos = _cosine("spark", "e.embedding", "q.embedding")
+    return spark.sql(
+        f"""
+      WITH qv AS (
+        SELECT pos AS dim, CAST(val AS DOUBLE) AS val
+        FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+        LATERAL VIEW posexplode(embedding) t AS pos, val),
+      dist AS (
+        SELECT c.label,
+               SUM(CAST(ROUND((qv.val - c.c) * (qv.val - c.c)
+                              * 1000000000000) AS BIGINT)) AS d_fp
+        FROM ivf_centroids c JOIN qv ON c.dim = qv.dim
+        GROUP BY c.label),
+      probe AS (
+        SELECT label FROM (
+          SELECT label, ROW_NUMBER() OVER (ORDER BY d_fp ASC, label ASC) AS rk
+          FROM dist) t
+        WHERE rk <= 3),
+      q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, cos, rk FROM (
+        SELECT e.vec_id AS vec_id, ROUND({cos}, 6) AS cos,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY ROUND({cos}, 6) DESC, e.vec_id ASC) AS INT) AS rk
+        FROM embeddings e
+        JOIN probe p ON e.label = p.label
+        CROSS JOIN q
+        WHERE e.vec_id <> 0) t
+      WHERE rk <= 10
+    """
+    )
+
+
 def _hp_bands_udf():
     """Vectorized hyperplane-sketch kernel: embedding → 8 band values.
     Accumulates over dims in ascending index order so every projection sum
@@ -1241,6 +1320,56 @@ def _canonicalize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", canonicalize_udf(raw).alias("canon_url"))
 
 
+def _stream_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 streaming correctness, driver-gated (VERDICT r2 #7): an
+    AvailableNow Structured Streaming dedup over the events table must equal
+    batch DISTINCT (the DuckDB oracle). The shape is the streaming seen-set:
+    event-time watermark + dropDuplicatesWithinWatermark (bounded state —
+    sparkcrawl/streaming.py uses the same operator over pages). Emitting
+    only the key column makes the result set deterministic regardless of
+    intra-batch arrival order."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    # FileStreamSource requires a DIRECTORY (in production the events land
+    # as files under a drop dir); the testdata table is a single parquet
+    # file, so stage a symlink dir around it
+    stream_dir = tempfile.mkdtemp(prefix="sparkcrawl_streamsrc_")
+    os.symlink(os.path.abspath(src), os.path.join(stream_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="sparkcrawl_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_DEDUP_ORACLE = """
+  SELECT DISTINCT user_id FROM events
+"""
+
+
 def _approx_users_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A6 approximate distinct — non-SQL-exact (HLL), rows-only driver check
     from pyspark.sql import functions as F
@@ -1262,6 +1391,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_decode"] = _multimodal_decode_spark
     out["dedup_components"] = _dedup_components_spark
     out["approx_users"] = _approx_users_spark
+    # persisted-index probe (build-once centroids table, VERDICT r2 #4);
+    # the oracle SQL (computing centroids inline) is unchanged
+    out["ann_ivf_multiprobe"] = _ann_ivf_multiprobe_spark
+    # §2.10 streaming gate: AvailableNow streaming dedup ≡ batch DISTINCT
+    out["stream_dedup"] = _stream_dedup_spark
     return out
 
 
@@ -1270,5 +1404,6 @@ def oracle_sql() -> dict[str, str]:
     out["canonicalize"] = _q_canonicalize("duckdb")
     out["multimodal_decode"] = _MULTIMODAL_DECODE_ORACLE
     out["dedup_components"] = _q_dedup_components_oracle()
+    out["stream_dedup"] = _STREAM_DEDUP_ORACLE
     # approx_users: HLL estimate — intentionally no oracle (rows-only check)
     return out
