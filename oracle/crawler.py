@@ -47,7 +47,15 @@ from dataclasses import dataclass, field
 
 import pyarrow.parquet as pq
 
-from sparkcrawl.canon import canonicalize_url, fingerprint, seq_for_link, seq_for_seed, url_host
+from sparkcrawl.canon import (
+    canonicalize_url,
+    fingerprint,
+    resolve_redirect,
+    seq_for_link,
+    seq_for_redirect,
+    seq_for_seed,
+    url_host,
+)
 from sparkcrawl.config import CrawlConfig
 from sparkcrawl.extract import extract_links, extract_text
 from sparkcrawl.robots import robots_allowed
@@ -61,9 +69,11 @@ class FrontierRow:
     depth: int
     priority: int
     seq: int
-    state: str  # QUEUED / FETCHED / ERROR / ROBOTS_DENIED
+    state: str  # QUEUED / FETCHED / REDIRECT / ERROR / ROBOTS_DENIED / HTTP_*
     discovered_round: int
     parent_url: str | None = None
+    retries: int = 0
+    redirects: int = 0
 
 
 @dataclass
@@ -87,11 +97,16 @@ def load_corpus(corpus_dir: str):
         if "status" in pages_t.column_names
         else [200] * pages_t.num_rows  # pinned default, matches prepare_pages
     )
+    locs = (
+        pages_t["location"].to_pylist()
+        if "location" in pages_t.column_names
+        else [None] * pages_t.num_rows  # pinned default, matches prepare_pages
+    )
     pages = {}
-    for url, html, lat, status in zip(
-        pages_t["url"].to_pylist(), pages_t["html"].to_pylist(), lats, stats
+    for url, html, lat, status, loc in zip(
+        pages_t["url"].to_pylist(), pages_t["html"].to_pylist(), lats, stats, locs
     ):
-        pages[canonicalize_url(url)] = (url, html, int(lat), int(status))
+        pages[canonicalize_url(url)] = (url, html, int(lat), int(status), loc)
     seeds_t = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
     seeds = list(zip(seeds_t["url"].to_pylist(), seeds_t["priority"].to_pylist()))
     robots = {}
@@ -140,7 +155,7 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
             "round": rnd, "queued_start": len(queued), "robots_fetched": 0,
             "robots_deferred": 0, "robots_denied": 0, "budget_deferred": 0,
             "cap_deferred": 0, "scheduled": 0, "fetched": 0, "fetch_miss": 0,
-            "http_error": 0,
+            "http_error": 0, "retried": 0, "redirected": 0,
             "links_extracted": 0, "depth_dropped": 0, "offsite_dropped": 0,
             "nofollow_dropped": 0, "url_guard_dropped": 0, "ext_dropped": 0,
             "regex_dropped": 0,
@@ -201,15 +216,62 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
                 r.state = "ERROR"
                 m["fetch_miss"] += 1
                 continue
-            page_url, html, lat_ms, status = hit
+            page_url, html, lat_ms, status, location = hit
             # latency is observed for every corpus hit, 2xx or not (the
             # server responded either way — pinned, rounds.py mirrors)
             acc = lat_obs.setdefault(r.host, [0, 0])
             acc[0] += lat_ms
             acc[1] += 1
+            # pinned outcome precedence (CrawlConfig, rounds.py mirrors):
+            # 200 → followable 3xx → retryable → terminal HTTP_<code>
+            if (
+                cfg.redirect_enabled
+                and 300 <= status < 400
+                and location is not None
+                and r.redirects < cfg.redirect_max_times
+            ):
+                # RedirectMiddleware: source row terminal REDIRECT; target
+                # becomes a candidate (depth unchanged, priority adjusted,
+                # redirects+1, retries carried) gated by URL_GUARD → OFFSITE
+                # only, then batch + seen dedup like any candidate
+                r.state = "REDIRECT"
+                m["redirected"] += 1
+                target = resolve_redirect(page_url, location)
+                if len(target) > cfg.url_length_limit or not target.startswith(
+                    ("http://", "https://")
+                ):
+                    m["url_guard_dropped"] += 1
+                    continue
+                canon = canonicalize_url(target)
+                host = url_host(canon)
+                if not cfg.host_allowed(host):
+                    m["offsite_dropped"] += 1
+                    continue
+                new_links.append(
+                    FrontierRow(
+                        target, canon, host, r.depth,
+                        r.priority + cfg.redirect_priority_adjust,
+                        seq_for_redirect(r.seq, canon), "QUEUED", rnd, r.url,
+                        retries=r.retries, redirects=r.redirects + 1,
+                    )
+                )
+                continue
+            if (
+                cfg.retry_enabled
+                and status in cfg.retry_http_codes
+                and r.retries < cfg.retry_times
+            ):
+                # RetryMiddleware: back to QUEUED with retries+1 and adjusted
+                # priority; fingerprint already in seen (no re-dedup)
+                r.retries += 1
+                r.priority += cfg.retry_priority_adjust
+                r.state = "QUEUED"
+                m["retried"] += 1
+                continue
             if status != 200:
                 # F5 HTTP-status filter (HttpErrorMiddleware semantics):
-                # non-2xx responses are terminal, never extracted/followed
+                # non-retryable non-2xx, exhausted retries, and
+                # redirect-cap-exhausted 3xx are terminal
                 r.state = f"HTTP_{status}"
                 m["http_error"] += 1
                 continue

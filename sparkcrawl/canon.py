@@ -29,6 +29,8 @@ __all__ = [
     "xxh64_str",
     "seq_for_seed",
     "seq_for_link",
+    "seq_for_redirect",
+    "resolve_redirect",
 ]
 
 # RFC 3986 unreserved characters: percent-escapes of these are decoded.
@@ -248,3 +250,21 @@ def seq_for_link(parent_seq: int, canon_url: str) -> int:
     ``xxhash64(concat_ws('\\x00', cast(parent_seq as string), canon_url))``.
     """
     return xxh64_str(f"{parent_seq}\x00{canon_url}")
+
+
+def seq_for_redirect(parent_seq: int, canon_url: str) -> int:
+    """Tie-break for a followed redirect target. The 'R' domain separator
+    keeps it distinct from a link to the same canon discovered on the same
+    page (different hash stream); Spark twin:
+    ``xxhash64(concat_ws('\\x00', cast(seq as string), 'R', canon))``."""
+    return xxh64_str(f"{parent_seq}\x00R\x00{canon_url}")
+
+
+def resolve_redirect(base_url: str, location: str) -> str:
+    """Pinned 3xx ``Location`` resolution: RFC 3986 join against the fetched
+    page url (upstream semantics: scrapy/downloadermiddlewares/redirect.py::
+    RedirectMiddleware resolves via urljoin — pinned-spec cite, SURVEY.md §0).
+    """
+    from urllib.parse import urljoin
+
+    return urljoin(base_url, location.strip())

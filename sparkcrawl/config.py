@@ -42,6 +42,32 @@ class CrawlConfig:
     respect_nofollow: bool = True
     url_length_limit: int = 2083    # URLLENGTH_LIMIT
     allowed_domains: tuple[str, ...] | None = None  # None → allow all (offsite off)
+    # --- redirect + retry (SURVEY.md §2.2; upstream symbols
+    #     scrapy/downloadermiddlewares/redirect.py::RedirectMiddleware and
+    #     retry.py::RetryMiddleware — pinned-spec cites per SURVEY.md §0).
+    # Pinned round semantics, mirrored bit-for-bit in oracle/crawler.py:
+    # * 3xx with a Location and redirects < redirect_max_times: the source
+    #   row is terminal REDIRECT; the target (Location urljoined against the
+    #   fetched page url) becomes a candidate with depth UNCHANGED, priority
+    #   += redirect_priority_adjust, redirects+1, retries carried, seq =
+    #   seq_for_redirect(parent_seq, canon). Only URL_GUARD and OFFSITE
+    #   apply to redirect targets (the F4 LinkExtractor filters do not —
+    #   they gate link discovery, not request replacement); dedup applies
+    #   like any candidate. Defaults match upstream REDIRECT_ENABLED /
+    #   REDIRECT_MAX_TIMES / REDIRECT_PRIORITY_ADJUST.
+    # * retryable status (retry_http_codes) with retries < retry_times: the
+    #   row returns to QUEUED with retries+1 and priority +=
+    #   retry_priority_adjust (logged RETRY, metric `retried`). Exhausted
+    #   retries (and non-retryable non-2xx, F5) are terminal HTTP_<code>.
+    #   Defaults match upstream RETRY_ENABLED / RETRY_TIMES /
+    #   RETRY_HTTP_CODES / RETRY_PRIORITY_ADJUST.
+    redirect_enabled: bool = True
+    redirect_max_times: int = 20
+    redirect_priority_adjust: int = 2
+    retry_enabled: bool = True
+    retry_times: int = 2
+    retry_http_codes: tuple[int, ...] = (500, 502, 503, 504, 522, 524, 408, 429)
+    retry_priority_adjust: int = -1
     # --- F4 LinkExtractor allow/deny (SURVEY.md §2.2, [scrapy:
     #     scrapy/linkextractors/lxmlhtml.py::LxmlLinkExtractor] pinned) ---
     # Patterns are unanchored regex (re.search / Spark rlike — stay in the
@@ -106,6 +132,15 @@ class CrawlConfig:
     # sidecar is backfilled from the full seen set at the crossover, so
     # late activation cannot produce false negatives.
     bloom_min_seen: int = 1_000_000
+    # Round-cap strategy threshold (VERDICT r2 #9): when the global cap
+    # binds AND round_size is at least this large, the top-K selection runs
+    # as a priority-histogram threshold cutoff (tiny groupBy(priority)
+    # histogram → boundary priority → top-up boundary rows by seq) instead
+    # of orderBy+limit, whose GlobalLimit funnels the whole K-row result
+    # through ONE partition. Below the threshold the sort path is cheaper
+    # (one job fewer); the scheduled SET is identical on both paths
+    # (property-tested + oracle-tested).
+    topk_histogram_min: int = 1 << 20
     # Below this many queued candidates the budget window skips its salted
     # pre-phase (P5): one exchange instead of two. Skew only threatens when a
     # single host's queue outgrows a task, which cannot happen under this

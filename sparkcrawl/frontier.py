@@ -37,6 +37,8 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("seq", T.LongType()),
         T.StructField("discovered_round", T.IntegerType()),
         T.StructField("parent_url", T.StringType()),
+        T.StructField("retries", T.IntegerType()),
+        T.StructField("redirects", T.IntegerType()),
     ]
 )
 
@@ -68,6 +70,8 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
         .withColumn("seq", F.xxhash64(F.col("canon")))
         .withColumn("discovered_round", F.lit(0).cast("int"))
         .withColumn("parent_url", F.lit(None).cast("string"))
+        .withColumn("retries", F.lit(0).cast("int"))
+        .withColumn("redirects", F.lit(0).cast("int"))
     )
     w = Window.partitionBy("canon").orderBy("seq")
     return (
@@ -126,6 +130,21 @@ def label_candidates(cand: DataFrame, cfg: CrawlConfig, salt: bool = True) -> Da
     return out.drop("_salt", "_rn1", "_surv") if salt else out.drop("_surv")
 
 
+def host_ok_col(cfg: CrawlConfig, host_col: str = "host"):
+    """F1 offsite check as a native boolean Column (CrawlConfig.host_allowed
+    twin) — shared by link discovery and redirect following."""
+    if cfg.allowed_domains is None:
+        return F.lit(True)
+    conds = [
+        (F.col(host_col) == d) | F.col(host_col).endswith("." + d)
+        for d in cfg.allowed_domains
+    ]
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
 def f4_filter_cols(cfg: CrawlConfig, canon_col: str = "canon"):
     """F4 allow/deny regex + deny_extensions as native boolean Columns over
     the canonical url — the same regexes the oracle applies in
@@ -170,16 +189,7 @@ def links_to_candidates(fetched: DataFrame, cfg: CrawlConfig, round_n: int) -> D
     )
     lk = canonicalized(lk)
     depth = F.col("parent_depth") + F.lit(1)
-    if cfg.allowed_domains is None:
-        host_ok = F.lit(True)
-    else:
-        conds = [
-            (F.col("host") == d) | F.col("host").endswith("." + d)
-            for d in cfg.allowed_domains
-        ]
-        host_ok = conds[0]
-        for c in conds[1:]:
-            host_ok = host_ok | c
+    host_ok = host_ok_col(cfg)
     ext_bad, regex_bad = f4_filter_cols(cfg)
     drop = (
         F.when(F.col("nofollow") & F.lit(cfg.respect_nofollow), "NOFOLLOW")
@@ -205,6 +215,58 @@ def links_to_candidates(fetched: DataFrame, cfg: CrawlConfig, round_n: int) -> D
             "seq",
             F.xxhash64(
                 F.concat_ws("\x00", F.col("parent_seq").cast("string"), F.col("canon"))
+            ),
+        )
+        .withColumn("discovered_round", F.lit(round_n).cast("int"))
+        .withColumn("retries", F.lit(0).cast("int"))
+        .withColumn("redirects", F.lit(0).cast("int"))
+    )
+
+
+def redirects_to_candidates(
+    redir: DataFrame, cfg: CrawlConfig, round_n: int
+) -> DataFrame:
+    """Followed 3xx responses → frontier-schema candidate rows with a
+    ``drop_reason`` column (RedirectMiddleware semantics, pinned in
+    CrawlConfig). Input rows carry the source frontier columns plus
+    ``page_url``/``location``. Depth is UNCHANGED (redirects replace the
+    request, they do not descend), priority += redirect_priority_adjust,
+    redirects+1, retries carried; only URL_GUARD → OFFSITE apply (pinned
+    order); batch dedup + seen dedup apply downstream like any candidate."""
+    from sparkcrawl.udfs import resolve_redirect_udf
+
+    rs = redir.select(
+        F.col("url").alias("parent_url"),
+        "depth",
+        "retries",
+        (F.col("priority") + F.lit(cfg.redirect_priority_adjust))
+        .cast("int")
+        .alias("priority"),
+        (F.col("redirects") + 1).cast("int").alias("redirects"),
+        F.col("seq").alias("parent_seq"),
+        resolve_redirect_udf("page_url", "location").alias("url"),
+    )
+    rs = canonicalized(rs)
+    drop = (
+        F.when(
+            (F.length("url") > cfg.url_length_limit)
+            | ~F.col("url").rlike("^https?://"),
+            "URL_GUARD",
+        )
+        .when(~host_ok_col(cfg), "OFFSITE")
+        .otherwise(F.lit(None))
+    )
+    return (
+        rs.withColumn("drop_reason", drop)
+        .withColumn(
+            "seq",
+            F.xxhash64(
+                F.concat_ws(
+                    "\x00",
+                    F.col("parent_seq").cast("string"),
+                    F.lit("R"),
+                    F.col("canon"),
+                )
             ),
         )
         .withColumn("discovered_round", F.lit(round_n).cast("int"))

@@ -55,6 +55,7 @@ from sparkcrawl.frontier import (
     canonicalized,
     label_candidates,
     links_to_candidates,
+    redirects_to_candidates,
     with_bucket,
 )
 from sparkcrawl.seenfilter import (
@@ -112,6 +113,12 @@ def prepare_pages(
         if "status" in pages.columns
         else F.lit(200).cast("int")
     )
+    # 3xx redirect target (RedirectMiddleware); absent column ⇒ no redirects
+    location = (
+        F.col("location").cast("string")
+        if "location" in pages.columns
+        else F.lit(None).cast("string")
+    )
     # ≤1 page per canonical url (the oracle's corpus is a canon-keyed dict);
     # min (url, warc_ts, xxhash64(html)) wins — fully deterministic under any
     # partitioning even when two corpus rows share canon AND url but differ
@@ -131,6 +138,7 @@ def prepare_pages(
             "html", "warc_ts", "lang",
             lat.alias("latency_ms"),
             status.alias("status"),
+            location.alias("location"),
         )
     )
     # small parquet row groups: extraction parallelism is bounded by scan
@@ -293,14 +301,52 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     if n_pass <= cfg.round_size:
         scheduled = passed.select(*FRONTIER_COLS)
         deferred_cap = passed.select(*FRONTIER_COLS).limit(0)
+    elif cfg.round_size >= cfg.topk_histogram_min:
+        # threshold-cutoff top-K (VERDICT r2 #9): priorities are a small
+        # discrete set (seed priorities shifted by depth/retry/redirect
+        # adjusts), so a groupBy(priority) histogram is tiny. All rows
+        # strictly above the boundary priority pass outright; the boundary
+        # priority is topped up by smallest seq. The only single-partition
+        # exchange is the boundary top-up (≪ K rows), never the full K-row
+        # result — at round_size ~10^7 the sort path's GlobalLimit would
+        # funnel every scheduled row through one task.
+        hist = sorted(
+            (
+                (r["priority"], r["n"])
+                for r in passed.groupBy("priority")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ),
+            reverse=True,
+        )
+        acc = 0
+        p_star, k_rem = hist[-1][0], cfg.round_size  # fallback: all in boundary
+        for prio, n in hist:
+            if acc + n >= cfg.round_size:
+                p_star, k_rem = prio, cfg.round_size - acc
+                break
+            acc += n
+        above = passed.filter(F.col("priority") > p_star).select(*FRONTIER_COLS)
+        boundary = passed.filter(F.col("priority") == p_star).select(*FRONTIER_COLS)
+        b_top = boundary.orderBy(F.col("seq").asc()).limit(k_rem)
+        scheduled = (
+            above.unionByName(b_top).repartition(par, "url_hash").persist()
+        )
+        b_keys = b_top.select("canon")
+        if k_rem <= cfg.dedup_broadcast_max:
+            b_keys = F.broadcast(b_keys)
+        deferred_cap = (
+            passed.filter(F.col("priority") < p_star)
+            .select(*FRONTIER_COLS)
+            .unionByName(boundary.join(b_keys, "canon", "left_anti"))
+        )
     else:
         # global top-K: Sort + LocalLimit-per-partition + single-partition
         # GlobalLimit (shuffle volume ≤ round_size × partitions of slim
         # rows); repartition immediately so the single partition never
-        # defines downstream parallelism. At extreme round sizes a
-        # threshold-cutoff selection (priority histogram + k-th seq within
-        # the boundary priority) would avoid the single-partition limit —
-        # documented future work; round_size is operator-bounded.
+        # defines downstream parallelism. Cheapest shape while round_size
+        # is operator-bounded small; the histogram path above takes over at
+        # topk_histogram_min.
         scheduled = (
             passed.select(*FRONTIER_COLS)
             .orderBy(F.col("priority").desc(), F.col("seq").asc())
@@ -331,7 +377,7 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     fetched = (
         pages_idx.select(
             "bucket", "url_hash", "canon", "page_url", "html", "latency_ms",
-            "status",
+            "status", "location",
         )
         .join(F.broadcast(keys), ["bucket", "url_hash", "canon"], "inner")
         .withColumn(
@@ -367,28 +413,63 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     )
     use_bloom = cfg.dedup_bloom and seen_total >= cfg.bloom_min_seen
     sidecar_prev: DataFrame | None = None
+    # Redirect + retry outcome predicates (RedirectMiddleware/RetryMiddleware
+    # semantics pinned in CrawlConfig; oracle/crawler.py mirrors the same
+    # precedence: 200 → redirect-followable 3xx → retryable → terminal):
+    is_3xx = (F.col("status") >= 300) & (F.col("status") < 400)
+    redirect_follow = (
+        F.lit(cfg.redirect_enabled)
+        & is_3xx
+        & F.col("location").isNotNull()
+        & (F.col("redirects") < F.lit(cfg.redirect_max_times))
+    )
+    retryable = (
+        F.lit(cfg.retry_enabled)
+        & F.col("status").isin(list(cfg.retry_http_codes))
+        & (F.col("retries") < F.lit(cfg.retry_times))
+    )
+    # candidate pool = discovered links ∪ followed redirect targets; the src
+    # tag keeps the links_extracted counter link-only while the drop-reason
+    # and dedup accounting covers both (one combined counts job)
+    link_cand = links_to_candidates(
+        fetched.withColumn("links", F.col("page.links")), cfg, round_n
+    ).select(*FRONTIER_COLS, "drop_reason").withColumn("src", F.lit("link"))
+    redir_cand = (
+        redirects_to_candidates(fetched.filter(redirect_follow), cfg, round_n)
+        .select(*FRONTIER_COLS, "drop_reason")
+        .withColumn("src", F.lit("redirect"))
+    )
     cand0 = with_bucket(
-        links_to_candidates(
-            fetched.withColumn("links", F.col("page.links")), cfg, round_n
-        ),
-        n_buckets=cfg.n_buckets,
+        link_cand.unionByName(redir_cand), n_buckets=cfg.n_buckets
     ).persist()
-    # one counts job over ALL exploded rows (materializes the cand0 cache):
+    # one counts job over ALL candidate rows (materializes the cand0 cache):
     # drop-reason + viable tallies per partition; dropped rows are never
     # needed again — only counted
-    drop_counts = _verdict_counts(
+    tagged_counts = _verdict_counts(
         cand0.withColumn(
-            "status",
-            F.when(
-                F.col("drop_reason").isNotNull(),
-                F.concat(F.lower(F.col("drop_reason")), F.lit("_dropped")),
-            ).otherwise(F.lit("viable")),
+            "k",
+            F.concat_ws(
+                "|",
+                F.col("src"),
+                F.when(
+                    F.col("drop_reason").isNotNull(),
+                    F.concat(F.lower(F.col("drop_reason")), F.lit("_dropped")),
+                ).otherwise(F.lit("viable")),
+            ),
         ),
-        "status",
+        "k",
     )
-    n_viable = sum(n for k, _, n in drop_counts if k == "viable")
-    counts.extend((k, p, n) for k, p, n in drop_counts if k != "viable")
-    counts.append(("links_extracted", -1, sum(n for _, _, n in drop_counts)))
+    n_viable = 0
+    n_links_extracted = 0
+    for k, p, n in tagged_counts:
+        src, _, st = k.partition("|")
+        if src == "link":
+            n_links_extracted += n
+        if st == "viable":
+            n_viable += n
+        else:
+            counts.append((st, p, n))
+    counts.append(("links_extracted", -1, n_links_extracted))
 
     # Only rank-1 viable rows ever consult the seen set: this shrinks the
     # dedup join's probe side from all exploded links (batch dup rate on
@@ -497,11 +578,22 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         )
 
     def _w_frontier():
+        # retryable rows return to QUEUED with retries+1 and adjusted
+        # priority (RetryMiddleware); their fingerprints are already in seen,
+        # so they bypass dedup by construction
+        retry_rows = fetched.filter(retryable).select(
+            *[c for c in FRONTIER_COLS if c not in ("priority", "retries")],
+            (F.col("priority") + F.lit(cfg.retry_priority_adjust))
+            .cast("int")
+            .alias("priority"),
+            (F.col("retries") + 1).cast("int").alias("retries"),
+        )
         new_frontier = (
             work.filter(F.col("verdict").isin("robots_deferred", "budget_deferred"))
             .select(*FRONTIER_COLS)
             .unionByName(deferred_cap)
             .unionByName(fresh.select(*FRONTIER_COLS))
+            .unionByName(retry_rows.select(*FRONTIER_COLS))
             .repartition(par, "url_hash")
         )
         return store.overwrite("frontier", new_frontier)
@@ -509,15 +601,20 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     log_obs = Observation()
 
     def _w_log():
+        # per-attempt outcome states: FETCHED (2xx) / REDIRECT (followed 3xx,
+        # terminal for the source row) / RETRY (re-queued, non-terminal) /
+        # HTTP_<code> (terminal: non-retryable non-2xx, retry-exhausted 5xx,
+        # redirect-cap-exhausted 3xx) / ERROR (corpus miss) / ROBOTS_DENIED
         log = (
-            fetched.select(*FRONTIER_COLS, "status")
+            fetched.select(*FRONTIER_COLS, "status", "location")
             .withColumn(
                 "state",
-                F.when(F.col("status") == 200, F.lit("FETCHED")).otherwise(
-                    F.concat(F.lit("HTTP_"), F.col("status"))
-                ),
+                F.when(F.col("status") == 200, F.lit("FETCHED"))
+                .when(redirect_follow, F.lit("REDIRECT"))
+                .when(retryable, F.lit("RETRY"))
+                .otherwise(F.concat(F.lit("HTTP_"), F.col("status"))),
             )
-            .drop("status")
+            .drop("status", "location")
             .unionByName(missed.withColumn("state", F.lit("ERROR")))
             .unionByName(
                 work.filter(F.col("verdict") == "robots_denied")
@@ -531,6 +628,12 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
                 F.sum(
                     F.when(F.col("state").startswith("HTTP_"), 1).otherwise(0)
                 ).alias("http_err"),
+                F.sum(
+                    F.when(F.col("state") == "RETRY", 1).otherwise(0)
+                ).alias("retried"),
+                F.sum(
+                    F.when(F.col("state") == "REDIRECT", 1).otherwise(0)
+                ).alias("redirected"),
             )
             .repartition(max(2, par // 8))
         )
@@ -604,10 +707,20 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         robots_snap = snaps["robots"]  # unchanged — re-commit the same snapshot
     n_fetched = int(log_obs.get["ok"] or 0)
     n_http_err = int(log_obs.get["http_err"] or 0)
+    n_retried = int(log_obs.get["retried"] or 0)
+    n_redirected = int(log_obs.get["redirected"] or 0)
     assert n_fetched == int(ext_obs.get["n"])  # extracted rows == 2xx hits
     counts.append(("fetched", -1, n_fetched))
     counts.append(("http_error", -1, n_http_err))
-    counts.append(("fetch_miss", -1, n_sched - n_fetched - n_http_err))
+    counts.append(("retried", -1, n_retried))
+    counts.append(("redirected", -1, n_redirected))
+    counts.append(
+        (
+            "fetch_miss",
+            -1,
+            n_sched - n_fetched - n_http_err - n_retried - n_redirected,
+        )
+    )
     _tick("table_writes")
 
     # metrics: already collected driver-side (tiny) → write without a job
@@ -630,6 +743,7 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         + summary.get("budget_deferred", 0)
         + (n_pass - n_sched)
         + summary.get("enqueued", 0)
+        + summary.get("retried", 0)  # retryable rows returned to QUEUED
     )
     metric_rows.append((round_n, "queued_end", -1, int(queued_end)))
     summary["queued_start"] = queued_start

@@ -72,7 +72,9 @@ def _gen_host(args) -> tuple[list, list, list, list, list]:
     (seed, i, n_hosts, pages_per_host, n_links_lo, n_links_hi, n_paras_lo,
      n_paras_hi, media_rate) = args
     hot = 0  # host 0 is the hot host (skew target)
-    urls, tss, htmls, texts, langs, lats, statuses = [], [], [], [], [], [], []
+    urls, tss, htmls, texts, langs, lats, statuses, locations = (
+        [], [], [], [], [], [], [], []
+    )
     for j in range(pages_per_host):
         rng = random.Random(seed * 1_000_003 + i * 7919 + j)
         url = page_url(i, j)
@@ -129,11 +131,30 @@ def _gen_host(args) -> tuple[list, list, list, list, list]:
         lats.append(
             50 + (xxh64_str(host_name(i)) % 10) * 100 + xxh64_str(url) % 200
         )
-        # deterministic HTTP status (F5): ~3% 404, ~3% 500, else 200 —
-        # derived from a salted url hash, so no rng-stream change
+        # deterministic HTTP status (F5 + redirect/retry): ~3% 404, ~9% 500
+        # (wide enough that small test corpora exercise the retry path),
+        # ~3% 301, ~3% 302, else 200 — derived from a salted url hash, so no
+        # rng-stream change (existing page bytes stay identical)
         sb = xxh64_str(url + "#status") % 33
-        statuses.append(404 if sb == 7 else 500 if sb == 8 else 200)
-    return urls, tss, htmls, texts, langs, lats, statuses
+        status = (
+            404 if sb == 7 else 500 if sb in (8, 11, 12)
+            else 301 if sb == 9 else 302 if sb == 10 else 200
+        )
+        statuses.append(status)
+        if 300 <= status < 400:
+            # deterministic redirect target: usually same-host (sometimes as
+            # a RELATIVE Location, exercising urljoin), ~20% cross-host;
+            # targets can themselves be 3xx, producing organic chains
+            rb = xxh64_str(url + "#redir")
+            tj = (j * 7 + 3) % pages_per_host
+            ti = (i + 1) % n_hosts if rb % 5 == 0 else i
+            if ti == i and rb % 7 == 0:
+                locations.append(_page_path(tj))  # relative Location
+            else:
+                locations.append(page_url(ti, tj))
+        else:
+            locations.append(None)
+    return urls, tss, htmls, texts, langs, lats, statuses, locations
 
 
 def generate(
@@ -166,10 +187,13 @@ def generate(
             parts = pool.map(_gen_host, tasks, chunksize=max(1, n_hosts // (procs * 4)))
     else:
         parts = [_gen_host(t) for t in tasks]
-    urls, tss, htmls, texts, langs, lats, statuses = [], [], [], [], [], [], []
-    for u, t, h, x, l, la, st in parts:
+    urls, tss, htmls, texts, langs, lats, statuses, locations = (
+        [], [], [], [], [], [], [], []
+    )
+    for u, t, h, x, l, la, st, lo in parts:
         urls.extend(u); tss.extend(t); htmls.extend(h); texts.extend(x)
         langs.extend(l); lats.extend(la); statuses.extend(st)
+        locations.extend(lo)
 
     pages = pa.table(
         {
@@ -180,6 +204,7 @@ def generate(
             "lang": pa.array(langs, pa.string()),
             "latency_ms": pa.array(lats, pa.int64()),
             "status": pa.array(statuses, pa.int32()),
+            "location": pa.array(locations, pa.string()),
         }
     )
     pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))

@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sparkcrawl.canon import canonicalize_url, url_host
+from sparkcrawl.canon import canonicalize_url, resolve_redirect, url_host
 from sparkcrawl.extract import extract_links, extract_page, extract_text
 
 LINKS_TYPE = T.ArrayType(
@@ -46,6 +46,16 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
 def host_udf(urls: pd.Series) -> pd.Series:
     mapping = {u: url_host(u) for u in urls.dropna().unique()}
     return urls.map(lambda u: mapping[u] if u is not None else None)
+
+
+@F.pandas_udf(T.StringType())
+def resolve_redirect_udf(base_url: pd.Series, location: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            resolve_redirect(b, l) if b is not None and l is not None else None
+            for b, l in zip(base_url, location)
+        ]
+    )
 
 
 @F.pandas_udf(T.StringType())

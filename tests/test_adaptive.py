@@ -103,7 +103,7 @@ def test_host_lat_table_matches_oracle_ewma(spark, crawled, golden, corpus):
     from oracle.crawler import load_corpus
 
     pages, *_ = load_corpus(corpus)
-    lat_of = {canon: lat for canon, (_u, _h, lat, _s) in pages.items()}
+    lat_of = {canon: lat for canon, (_u, _h, lat, _s, _loc) in pages.items()}
     ewma: dict[str, int] = {}
     for rnd_urls in golden.rounds:
         obs: dict[str, list[int]] = {}

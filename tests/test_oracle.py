@@ -68,8 +68,22 @@ def test_round_size_cap(tiny):
     assert all(len(r) <= 5 for r in res.rounds)
 
 
-def test_no_url_scheduled_twice(tiny):
-    res = crawl(tiny, CrawlConfig(round_size=50))
+def test_no_url_scheduled_twice_except_retries(tiny):
+    # RetryMiddleware re-queues retryable failures, so a url may be
+    # scheduled once per attempt; every EXTRA appearance must be accounted
+    # for by the `retried` counter, and nothing exceeds 1 + retry_times.
+    cfg = CrawlConfig(round_size=50)
+    res = crawl(tiny, cfg)
+    flat = [u for r in res.rounds for u in r]
+    n_retried = sum(m["retried"] for m in res.metrics)
+    assert len(flat) == len(set(flat)) + n_retried
+    from collections import Counter
+
+    assert max(Counter(flat).values()) <= 1 + cfg.retry_times
+
+
+def test_no_url_scheduled_twice_with_retries_off(tiny):
+    res = crawl(tiny, CrawlConfig(round_size=50, retry_enabled=False))
     flat = [u for r in res.rounds for u in r]
     assert len(flat) == len(set(flat))
 

@@ -99,7 +99,8 @@ def test_metrics_match_oracle(spark, crawled, golden):
         for key in (
             "queued_start", "robots_fetched", "robots_deferred", "robots_denied",
             "budget_deferred", "cap_deferred", "scheduled", "fetched",
-            "fetch_miss", "http_error", "links_extracted", "nofollow_dropped",
+            "fetch_miss", "http_error", "retried", "redirected",
+            "links_extracted", "nofollow_dropped",
             "url_guard_dropped", "ext_dropped", "regex_dropped",
             "depth_dropped", "offsite_dropped", "dup_in_batch",
             "dedup_dropped", "enqueued",
@@ -117,7 +118,21 @@ def test_frontier_log_states(spark, crawled, golden):
     for row in golden.frontier.values():
         if row.state != "QUEUED":
             want[row.state] = want.get(row.state, 0) + 1
+    # RETRY log entries are per-attempt, not terminal frontier states: one
+    # per retried schedule (the row itself returns to QUEUED)
+    n_retry = sum(m["retried"] for m in golden.metrics)
+    if n_retry:
+        want["RETRY"] = n_retry
     assert got == want
+
+
+def test_redirect_and_retry_exercised(golden):
+    """The default synth corpus must actually hit both new paths (3xx follow
+    + 5xx retry) so the equivalence suite is meaningful."""
+    assert sum(m["redirected"] for m in golden.metrics) > 0
+    assert sum(m["retried"] for m in golden.metrics) > 0
+    # followed redirects appear as terminal REDIRECT frontier states
+    assert any(r.state == "REDIRECT" for r in golden.frontier.values())
 
 
 def test_resume_equals_uninterrupted(spark, corpus, crawled, golden, tmp_path_factory):
@@ -270,6 +285,26 @@ def test_feed_export_roundtrip(spark, crawled, golden, tmp_path_factory):
     assert backc.count() == n_expected
 
 
+def test_redirect_retry_disabled_equals_oracle(spark, corpus, tmp_path_factory):
+    """redirect_max_times=0 + retry_times=0 make every 3xx/5xx terminal on
+    the first attempt (the pre-r3 F5 behavior); pipeline and oracle must
+    agree on that config too — covering the cap-exhaustion branches."""
+    cfg = CrawlConfig(
+        round_size=50, bloom_min_seen=0, redirect_max_times=0, retry_times=0
+    )
+    store_dir = str(tmp_path_factory.mktemp("store_rr0"))
+    run_crawl(spark, corpus, store_dir, cfg)
+    o = oracle_crawl(corpus, cfg)
+    assert sum(m["redirected"] for m in o.metrics) == 0
+    assert sum(m["retried"] for m in o.metrics) == 0
+    store = SnapStore(store_dir)
+    got = spark_rounds(spark, store)
+    for i, g in enumerate(o.rounds):
+        assert got.get(i, []) == g, f"round {i}"
+    seen = {r["canon"] for r in store.read(spark, "seen").select("canon").collect()}
+    assert seen == o.seen
+
+
 def test_round_cap_path_equals_oracle(spark, corpus, tmp_path_factory):
     """Global round cap (O2): round_size below the per-round pass volume
     forces the orderBy+limit top-K path and the deferred_cap anti-join every
@@ -295,3 +330,22 @@ def test_round_cap_path_equals_oracle(spark, corpus, tmp_path_factory):
     got_cap = {r["round"]: r["n"] for r in rows}
     for m in o.metrics:
         assert got_cap.get(m["round"], 0) == m["cap_deferred"], m["round"]
+
+
+def test_round_cap_histogram_path_equals_oracle(spark, corpus, tmp_path_factory):
+    """topk_histogram_min=0 forces the priority-histogram threshold-cutoff
+    top-K (VERDICT r2 #9) whenever the cap binds; schedule ordering, seen
+    set, and counters must equal the oracle (and hence the sort path)."""
+    cfg = CrawlConfig(
+        round_size=12, bloom_min_seen=0, max_rounds=30, topk_histogram_min=0
+    )
+    store_dir = str(tmp_path_factory.mktemp("store_caph"))
+    run_crawl(spark, corpus, store_dir, cfg)
+    o = oracle_crawl(corpus, cfg)
+    store = SnapStore(store_dir)
+    got = spark_rounds(spark, store)
+    for i, g in enumerate(o.rounds):
+        assert got.get(i, []) == g, f"round {i}"
+    seen = {r["canon"] for r in store.read(spark, "seen").select("canon").collect()}
+    assert seen == o.seen
+    assert any(m["cap_deferred"] > 0 for m in o.metrics)
