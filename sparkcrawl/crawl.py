@@ -74,9 +74,11 @@ def run_crawl(
         spark.read.parquet(budget_path) if os.path.exists(budget_path) else None
     )
 
+    from sparkcrawl.rounds import corpus_caps
     from sparkcrawl.session import prewarm_python_workers
 
     prewarm_python_workers(spark)
+    caps = corpus_caps(spark, store, cfg)
 
     summaries: list[dict] = []
     first = True
@@ -88,7 +90,7 @@ def run_crawl(
                 break
             first = False
         t0 = time.monotonic()
-        s = one_round(spark, store, cfg, rnd, host_budget)
+        s = one_round(spark, store, cfg, rnd, host_budget, corpus_caps=caps)
         s["wall_ms"] = int((time.monotonic() - t0) * 1000)
         summaries.append(s)
         if verbose:

@@ -187,8 +187,38 @@ def init_crawl(spark: SparkSession, store: SnapStore, seeds_path: str,
     fr.unpersist()
 
 
+def corpus_caps(spark: SparkSession, store: SnapStore,
+                cfg: CrawlConfig) -> dict:
+    """Once-per-crawl corpus capabilities: whether pages_idx contains ANY
+    followable-3xx or retryable-status row. Two tiny column-pruned,
+    filter-pushed scans (parquet row-group stats prune all-200 corpora to
+    zero reads) that let every round skip the redirect/retry plan branches
+    entirely when the corpus cannot produce them — a per-round second scan
+    leg and a frontier union are pure overhead on an all-2xx corpus. At the
+    10^10-page design point this is one metadata-cheap job at crawl start,
+    amortized over thousands of rounds."""
+    idx = store.read(spark, "pages_idx")
+    caps = {"has_redirects": False, "has_retryable": False}
+    if cfg.redirect_enabled and cfg.redirect_max_times > 0:
+        caps["has_redirects"] = bool(
+            idx.filter(
+                (F.col("status") >= 300)
+                & (F.col("status") < 400)
+                & F.col("location").isNotNull()
+            ).limit(1).count()
+        )
+    if cfg.retry_enabled and cfg.retry_times > 0:
+        caps["has_retryable"] = bool(
+            idx.filter(
+                F.col("status").isin(list(cfg.retry_http_codes))
+            ).limit(1).count()
+        )
+    return caps
+
+
 def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
-              round_n: int, host_budget: DataFrame | None = None) -> dict:
+              round_n: int, host_budget: DataFrame | None = None,
+              corpus_caps: dict | None = None) -> dict:
     """Run crawl round ``round_n``; commits new snapshots + round manifest.
     Returns summary counters (driver uses ``queued_end`` for termination)."""
     prev_manifest = store.round_manifest(round_n - 1)
@@ -203,10 +233,12 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     par = spark.sparkContext.defaultParallelism
     _prof = os.environ.get("SPARKCRAWL_PROFILE") == "1"
     _t = [time.monotonic()]
+    _stage_ms: dict[str, int] = {}
 
     def _tick(label: str) -> None:
         if _prof:
             now = time.monotonic()
+            _stage_ms[label] = int((now - _t[0]) * 1000)
             print(f"    [r{round_n}] {label}: {now - _t[0]:.2f}s", flush=True)
             _t[0] = now
 
@@ -415,16 +447,21 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     sidecar_prev: DataFrame | None = None
     # Redirect + retry outcome predicates (RedirectMiddleware/RetryMiddleware
     # semantics pinned in CrawlConfig; oracle/crawler.py mirrors the same
-    # precedence: 200 → redirect-followable 3xx → retryable → terminal):
+    # precedence: 200 → redirect-followable 3xx → retryable → terminal).
+    # corpus_caps (computed once per crawl) folds the predicates to FALSE —
+    # and the plan branches away entirely below — when the corpus cannot
+    # produce the outcome: on an all-2xx corpus the branches are pure
+    # overhead (a second scan leg + a frontier union per round).
+    caps = corpus_caps or {"has_redirects": True, "has_retryable": True}
     is_3xx = (F.col("status") >= 300) & (F.col("status") < 400)
     redirect_follow = (
-        F.lit(cfg.redirect_enabled)
+        F.lit(cfg.redirect_enabled and caps["has_redirects"])
         & is_3xx
         & F.col("location").isNotNull()
         & (F.col("redirects") < F.lit(cfg.redirect_max_times))
     )
     retryable = (
-        F.lit(cfg.retry_enabled)
+        F.lit(cfg.retry_enabled and caps["has_retryable"])
         & F.col("status").isin(list(cfg.retry_http_codes))
         & (F.col("retries") < F.lit(cfg.retry_times))
     )
@@ -434,14 +471,36 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     link_cand = links_to_candidates(
         fetched.withColumn("links", F.col("page.links")), cfg, round_n
     ).select(*FRONTIER_COLS, "drop_reason").withColumn("src", F.lit("link"))
-    redir_cand = (
-        redirects_to_candidates(fetched.filter(redirect_follow), cfg, round_n)
-        .select(*FRONTIER_COLS, "drop_reason")
-        .withColumn("src", F.lit("redirect"))
-    )
-    cand0 = with_bucket(
-        link_cand.unionByName(redir_cand), n_buckets=cfg.n_buckets
-    ).persist()
+    # The redirect leg re-reads pages_idx with ONLY the slim scalar columns
+    # (status/location/urls — parquet column pruning; no html bytes, no
+    # extraction UDF) instead of consuming the `fetched` cache: both union
+    # legs land in the same counts job, and a second consumer of the
+    # NOT-YET-materialized cache would race the link leg into computing the
+    # extraction twice per partition (measured: +33% on the peak cluster
+    # round). The 3xx filter pushes into the scan, so the leg reads almost
+    # nothing on redirect-light corpora.
+    if cfg.redirect_enabled and caps["has_redirects"]:
+        redir_src = (
+            pages_idx.select(
+                "bucket", "url_hash", "canon", "page_url", "status", "location",
+            )
+            .filter(
+                (F.col("status") >= 300)
+                & (F.col("status") < 400)
+                & F.col("location").isNotNull()
+            )
+            .join(F.broadcast(keys), ["bucket", "url_hash", "canon"], "inner")
+            .filter(redirect_follow)
+        )
+        redir_cand = (
+            redirects_to_candidates(redir_src, cfg, round_n)
+            .select(*FRONTIER_COLS, "drop_reason")
+            .withColumn("src", F.lit("redirect"))
+        )
+        cand0_all = link_cand.unionByName(redir_cand)
+    else:
+        cand0_all = link_cand
+    cand0 = with_bucket(cand0_all, n_buckets=cfg.n_buckets).persist()
     # one counts job over ALL candidate rows (materializes the cand0 cache):
     # drop-reason + viable tallies per partition; dropped rows are never
     # needed again — only counted
@@ -470,6 +529,7 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         else:
             counts.append((st, p, n))
     counts.append(("links_extracted", -1, n_links_extracted))
+    _tick("cand_counts")
 
     # Only rank-1 viable rows ever consult the seen set: this shrinks the
     # dedup join's probe side from all exploded links (batch dup rate on
@@ -578,25 +638,31 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         )
 
     def _w_frontier():
-        # retryable rows return to QUEUED with retries+1 and adjusted
-        # priority (RetryMiddleware); their fingerprints are already in seen,
-        # so they bypass dedup by construction
-        retry_rows = fetched.filter(retryable).select(
-            *[c for c in FRONTIER_COLS if c not in ("priority", "retries")],
-            (F.col("priority") + F.lit(cfg.retry_priority_adjust))
-            .cast("int")
-            .alias("priority"),
-            (F.col("retries") + 1).cast("int").alias("retries"),
-        )
         new_frontier = (
             work.filter(F.col("verdict").isin("robots_deferred", "budget_deferred"))
             .select(*FRONTIER_COLS)
             .unionByName(deferred_cap)
             .unionByName(fresh.select(*FRONTIER_COLS))
-            .unionByName(retry_rows.select(*FRONTIER_COLS))
-            .repartition(par, "url_hash")
         )
-        return store.overwrite("frontier", new_frontier)
+        if cfg.retry_enabled and caps["has_retryable"]:
+            # retryable rows return to QUEUED with retries+1 and adjusted
+            # priority (RetryMiddleware); their fingerprints are already in
+            # seen, so they bypass dedup by construction. fetched is cached
+            # and materialized by now, and the columnar cache prunes to the
+            # slim frontier columns — no page-struct bytes move.
+            retry_rows = fetched.filter(retryable).select(
+                *[c for c in FRONTIER_COLS if c not in ("priority", "retries")],
+                (F.col("priority") + F.lit(cfg.retry_priority_adjust))
+                .cast("int")
+                .alias("priority"),
+                (F.col("retries") + 1).cast("int").alias("retries"),
+            )
+            new_frontier = new_frontier.unionByName(
+                retry_rows.select(*FRONTIER_COLS)
+            )
+        return store.overwrite(
+            "frontier", new_frontier.repartition(par, "url_hash")
+        )
 
     log_obs = Observation()
 
@@ -786,4 +852,7 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         if df is not None:
             df.unpersist()
     _tick("commit_unpersist")
+    if _prof:
+        # after commit_round — the manifest meta is int-valued counters only
+        summary["stage_ms"] = _stage_ms  # type: ignore[assignment]
     return summary
