@@ -74,6 +74,7 @@ class FrontierRow:
     parent_url: str | None = None
     retries: int = 0
     redirects: int = 0
+    meta: str | None = None  # Request.meta analogue (JSON payload)
 
 
 @dataclass
@@ -108,7 +109,12 @@ def load_corpus(corpus_dir: str):
     ):
         pages[canonicalize_url(url)] = (url, html, int(lat), int(status), loc)
     seeds_t = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
-    seeds = list(zip(seeds_t["url"].to_pylist(), seeds_t["priority"].to_pylist()))
+    metas = (
+        seeds_t["meta"].to_pylist()
+        if "meta" in seeds_t.column_names
+        else [None] * seeds_t.num_rows  # pinned default, matches seeds_to_frontier
+    )
+    seeds = list(zip(seeds_t["url"].to_pylist(), seeds_t["priority"].to_pylist(), metas))
     robots = {}
     rb = os.path.join(corpus_dir, "robots.parquet")
     if os.path.exists(rb):
@@ -133,10 +139,12 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
 
     # --- seed the frontier (round 0 state) ---
     seed_rows: dict[str, FrontierRow] = {}
-    for url, prio in seeds:
+    for url, prio, meta in seeds:
         canon = canonicalize_url(url)
         seq = seq_for_seed(canon)
-        row = FrontierRow(url, canon, url_host(canon), 0, int(prio), seq, "QUEUED", 0)
+        row = FrontierRow(
+            url, canon, url_host(canon), 0, int(prio), seq, "QUEUED", 0, meta=meta
+        )
         if canon not in seed_rows or seq < seed_rows[canon].seq:
             seed_rows[canon] = row
     for canon, row in seed_rows.items():
@@ -253,6 +261,7 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
                         r.priority + cfg.redirect_priority_adjust,
                         seq_for_redirect(r.seq, canon), "QUEUED", rnd, r.url,
                         retries=r.retries, redirects=r.redirects + 1,
+                        meta=r.meta,  # request.replace preserves meta
                     )
                 )
                 continue

@@ -39,6 +39,14 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("parent_url", T.StringType()),
         T.StructField("retries", T.IntegerType()),
         T.StructField("redirects", T.IntegerType()),
+        # Request.meta analogue ([scrapy: scrapy/http/request/__init__.py::
+        # Request.meta]): arbitrary user payload, JSON-serialized (Scrapy
+        # meta is arbitrary-typed, so a JSON string is the faithful column
+        # shape — and it crosses the Arrow probe stage and parquet without
+        # map-type round-trip hazards). Set at seed time; preserved by
+        # redirect/retry descendants (request.replace semantics); discovered
+        # links start fresh (null) exactly as a new Request() would.
+        T.StructField("meta", T.StringType()),
     ]
 )
 
@@ -63,6 +71,11 @@ def canonicalized(df: DataFrame, url_col: str = "url") -> DataFrame:
 def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     """Seed rows → frontier schema (depth 0, seq = xxhash64(canon), dedup by
     canon keeping min seq — FIXTURES.md §4; seeds are dont_filter)."""
+    meta = (
+        F.col("meta").cast("string")
+        if "meta" in seeds.columns
+        else F.lit(None).cast("string")
+    )
     df = (
         canonicalized(seeds)
         .withColumn("depth", F.lit(0).cast("int"))
@@ -72,6 +85,7 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
         .withColumn("parent_url", F.lit(None).cast("string"))
         .withColumn("retries", F.lit(0).cast("int"))
         .withColumn("redirects", F.lit(0).cast("int"))
+        .withColumn("meta", meta)
     )
     w = Window.partitionBy("canon").orderBy("seq")
     return (
@@ -220,6 +234,7 @@ def links_to_candidates(fetched: DataFrame, cfg: CrawlConfig, round_n: int) -> D
         .withColumn("discovered_round", F.lit(round_n).cast("int"))
         .withColumn("retries", F.lit(0).cast("int"))
         .withColumn("redirects", F.lit(0).cast("int"))
+        .withColumn("meta", F.lit(None).cast("string"))
     )
 
 
@@ -239,6 +254,7 @@ def redirects_to_candidates(
         F.col("url").alias("parent_url"),
         "depth",
         "retries",
+        "meta",  # request.replace preserves meta across the redirect
         (F.col("priority") + F.lit(cfg.redirect_priority_adjust))
         .cast("int")
         .alias("priority"),

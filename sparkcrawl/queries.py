@@ -359,6 +359,261 @@ def _q_tpch_q18(engine: str) -> str:
     """
 
 
+def _q_tpch_q2(engine: str) -> str:
+    # TPC-H Q2 shape: correlated scalar-MIN subquery picking the cheapest
+    # candidate within a group. No partsupp table in this dataset, so the
+    # min-cost-supplier-per-part becomes min-retailprice-part-per-type;
+    # the decorrelation the optimizer must perform is identical.
+    return """
+      SELECT p.p_partkey, p.p_name, p.p_type, p.p_retailprice
+      FROM part p
+      WHERE p.p_size = 15
+        AND p.p_retailprice = (
+          SELECT MIN(p2.p_retailprice) FROM part p2
+          WHERE p2.p_type = p.p_type AND p2.p_size = 15)
+    """
+
+
+def _q_tpch_q8(engine: str) -> str:
+    # TPC-H Q8: national market share — 8-table join, nation joined twice,
+    # conditional share ratio per year (exact integer-cents numerator and
+    # denominator, ratio rounded once)
+    return """
+      SELECT l_year,
+             ROUND(CAST(SUM(CASE WHEN nat = 'NATION_3' THEN cents ELSE 0 END)
+                        AS DOUBLE)
+                   / CAST(SUM(cents) AS DOUBLE), 6) AS mkt_share
+      FROM (
+        SELECT CAST(YEAR(o.o_orderdate) AS INT) AS l_year,
+               ns.n_name AS nat,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS cents
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN region r ON nc.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01') t
+      GROUP BY l_year
+    """
+
+
+def _q_tpch_q9(engine: str) -> str:
+    # TPC-H Q9: product-type profit by nation and year. No ps_supplycost in
+    # this dataset — p_retailprice*l_quantity stands in for the cost leg;
+    # both legs cent-rounded separately (the established exact pattern).
+    return """
+      SELECT nation_name, o_year,
+             CAST(SUM(profit_cents) AS DOUBLE) / 100.0 AS sum_profit
+      FROM (
+        SELECT ns.n_name AS nation_name,
+               CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)
+                 - CAST(ROUND(p.p_retailprice * l.l_quantity * 100)
+                        AS BIGINT) AS profit_cents
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        WHERE p.p_name LIKE '%red%') t
+      GROUP BY nation_name, o_year
+    """
+
+
+def _q_tpch_q11(engine: str) -> str:
+    # TPC-H Q11 shape: per-group value filtered against a scalar fraction of
+    # the global total (scalar subquery over the same derived table). The
+    # threshold comparison is done in DOUBLE on exact integer-cent sums —
+    # CAST(double AS BIGINT) rounds in DuckDB but truncates in Spark, so the
+    # cast is deliberately avoided.
+    return """
+      WITH pv AS (
+        SELECT l.l_partkey AS l_partkey,
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS val_cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY l.l_partkey)
+      SELECT l_partkey, CAST(val_cents AS DOUBLE) / 100.0 AS part_value
+      FROM pv
+      WHERE CAST(val_cents AS DOUBLE) >
+            (SELECT CAST(SUM(val_cents) AS DOUBLE) * 0.001 FROM pv)
+    """
+
+
+def _q_tpch_q12(engine: str) -> str:
+    # TPC-H Q12 shape: priority-class conditional counts over a join with a
+    # ship-lag predicate. No l_shipmode/commitdate — l_returnflag buckets and
+    # a shipdate-minus-orderdate window (exact integer µs) stand in.
+    lag = f"{_micros(engine, 'l.l_shipdate')} - {_micros(engine, 'o.o_orderdate')}"
+    return f"""
+      SELECT l.l_returnflag AS l_returnflag,
+             CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE {lag} BETWEEN 0 AND 2592000000000
+      GROUP BY l.l_returnflag
+    """
+
+
+def _q_tpch_q13(engine: str) -> str:
+    # TPC-H Q13: distribution of orders per customer — LEFT OUTER join with a
+    # join-side filter, then a group-of-groups
+    return """
+      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      FROM (
+        SELECT c.c_custkey AS c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey) t
+      GROUP BY c_count
+    """
+
+
+def _q_tpch_q15(engine: str) -> str:
+    # TPC-H Q15: top supplier by quarter revenue — revenue CTE reused twice,
+    # scalar MAX subquery; the max comparison runs on exact integer cents
+    return """
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name,
+             CAST(r.total_cents AS DOUBLE) / 100.0 AS total_revenue
+      FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      WHERE r.total_cents = (SELECT MAX(total_cents) FROM revenue)
+    """
+
+
+def _q_tpch_q16(engine: str) -> str:
+    # TPC-H Q16 shape: distinct-supplier counts per part group with a NOT IN
+    # anti-subquery (partsupp replaced by the lineitem part↔supplier relation)
+    return """
+      SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+             CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand <> 'Brand#3'
+        AND p.p_type NOT LIKE 'PROMO%'
+        AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        AND l.l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      GROUP BY p.p_brand, p.p_type, p.p_size
+    """
+
+
+def _q_tpch_q17(engine: str) -> str:
+    # TPC-H Q17: small-quantity-order revenue — correlated scalar AVG
+    # subquery per part (decorrelates to an aggregate + re-join). l_quantity
+    # is integer-valued, so AVG is an exact-sum/count on both engines.
+    return """
+      SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 700.0 AS avg_yearly
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#5'
+        AND l.l_quantity < (
+          SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+    """
+
+
+def _q_tpch_q19(engine: str) -> str:
+    # TPC-H Q19: disjunctive OR-of-ANDs predicate across a join — exercises
+    # predicate normalization: the shared p_partkey = l_partkey conjunct must
+    # still drive a hash join, with the disjunction applied as a post-filter
+    return """
+      SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+             AND l.l_quantity BETWEEN 1 AND 11)
+         OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+             AND l.l_quantity BETWEEN 10 AND 20)
+         OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 20 AND 30)
+    """
+
+
+def _q_tpch_q20(engine: str) -> str:
+    # TPC-H Q20 shape: nested IN-subqueries (semi-join chain) with a HAVING
+    # threshold on an exact integer-valued quantity sum
+    return """
+      SELECT s.s_suppkey, s.s_name
+      FROM supplier s
+      WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey
+        HAVING SUM(l.l_quantity) > 100.0)
+    """
+
+
+def _q_tpch_q21(engine: str) -> str:
+    # TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation — suppliers
+    # whose line item was the strictly-latest ship in a multi-supplier order
+    # (receipt/commit dates absent; shipdate ordering stands in)
+    return """
+      SELECT s.s_name AS s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_shipdate > o.o_orderdate
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > l1.l_shipdate)
+      GROUP BY s.s_name
+    """
+
+
+def _q_tpch_q22(engine: str) -> str:
+    # TPC-H Q22 shape: substring bucketing + scalar-AVG threshold + NOT
+    # EXISTS anti-join. c_name's trailing digit stands in for the phone
+    # country code; every synthetic customer has orders, so "no orders at
+    # all" would be empty — "no URGENT order" keeps the identical correlated
+    # anti-join shape non-degenerate. The AVG threshold compares exact
+    # integer cents so the boundary cannot drift between engines.
+    return """
+      SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS totacctbal
+      FROM (
+        SELECT substr(c.c_name, 18, 1) AS cntrycode, c.c_acctbal AS c_acctbal
+        FROM customer c
+        WHERE substr(c.c_name, 18, 1) IN ('1', '3', '5', '7')
+          AND CAST(ROUND(c.c_acctbal * 100) AS BIGINT) > (
+            SELECT AVG(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT))
+            FROM customer c2 WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS
+              (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT')) t
+      GROUP BY cntrycode
+    """
+
+
 def _q_dedup_exact(engine: str) -> str:
     # exact (hash-groupBy) dedup: content hash → representative + dup count
     return """
@@ -426,6 +681,72 @@ def _q_doc_fingerprint(engine: str) -> str:
     else:
         expr = "md5(array_to_string(list_sort(list_distinct(string_split(text,' ')))[1:8],' '))"
     return f"SELECT doc_id, {expr} AS fp FROM documents"
+
+
+def _q_stratified_sample(engine: str) -> str:
+    # deterministic hash-based stratified sampling (training-data pipeline):
+    # TOKHASH(doc_id) % 10 picks a reproducible ~10% of every stratum with no
+    # shuffle, no RNG state, and no driver coordination — the sampling
+    # decision is a pure function of the row, so it distributes perfectly
+    # and re-runs identically at any cluster size
+    h = _tokhash(engine, "CAST(doc_id AS STRING)")
+    return f"""
+      SELECT doc_id, lang, source
+      FROM documents
+      WHERE {h} % 10 = 0
+    """
+
+
+def _q_repetition_ratio(engine: str) -> str:
+    # Gopher-style repetition quality signal: fraction of duplicate word-3-gram
+    # shingles per document (1 - distinct/total); highly repetitive docs are
+    # low-quality training data. Linear per-doc scan, no shuffle.
+    sh = _shingles(engine)
+    if engine == "spark":
+        dis, tot = f"size(array_distinct({sh}))", f"size({sh})"
+    else:
+        dis, tot = f"len(list_distinct({sh}))", f"len({sh})"
+    return f"""
+      SELECT doc_id,
+             ROUND(1.0 - CAST({dis} AS DOUBLE) / CAST({tot} AS DOUBLE), 6)
+               AS repetition_ratio
+      FROM documents
+      WHERE length(text) - length(replace(text, ' ', '')) >= 2
+    """
+
+
+def _q_top_terms(engine: str) -> str:
+    # corpus vocabulary head: distributed wordcount with a deterministic
+    # top-k tie-break (count DESC, term ASC) — the canonical map-side-combine
+    # aggregation; at 100 TB this is one partial-agg shuffle of the tiny
+    # (term, count) space, never of the text
+    if engine == "spark":
+        ex = "SELECT explode(split(text, ' ')) AS term FROM documents"
+    else:
+        ex = "SELECT unnest(string_split(text, ' ')) AS term FROM documents"
+    return f"""
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ({ex}) t
+      GROUP BY term
+      ORDER BY n DESC, term ASC
+      LIMIT 50
+    """
+
+
+def _q_length_percentiles(engine: str) -> str:
+    # per-stratum exact length percentiles (corpus profiling before filter
+    # thresholds are chosen). Exact linear-interpolated percentile over
+    # integers — Spark percentile() and DuckDB quantile_cont() compute the
+    # same formula, so the doubles agree bit-for-bit; rounded anyway.
+    fn = "percentile" if engine == "spark" else "quantile_cont"
+    return f"""
+      SELECT lang,
+             ROUND({fn}(n_chars, 0.5), 6) AS p50_chars,
+             ROUND({fn}(n_chars, 0.9), 6) AS p90_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents
+      GROUP BY lang
+    """
 
 
 def _shingles(engine: str) -> str:
@@ -896,11 +1217,28 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "tpch_q10": _q_tpch_q10,
     "tpch_q14": _q_tpch_q14,
     "tpch_q18": _q_tpch_q18,
+    "tpch_q2": _q_tpch_q2,
+    "tpch_q8": _q_tpch_q8,
+    "tpch_q9": _q_tpch_q9,
+    "tpch_q11": _q_tpch_q11,
+    "tpch_q12": _q_tpch_q12,
+    "tpch_q13": _q_tpch_q13,
+    "tpch_q15": _q_tpch_q15,
+    "tpch_q16": _q_tpch_q16,
+    "tpch_q17": _q_tpch_q17,
+    "tpch_q19": _q_tpch_q19,
+    "tpch_q20": _q_tpch_q20,
+    "tpch_q21": _q_tpch_q21,
+    "tpch_q22": _q_tpch_q22,
     "dedup_exact": _q_dedup_exact,
     "token_stats": _q_token_stats,
     "langid": _q_langid,
     "quality_score": _q_quality_score,
     "doc_fingerprint": _q_doc_fingerprint,
+    "stratified_sample": _q_stratified_sample,
+    "repetition_ratio": _q_repetition_ratio,
+    "top_terms": _q_top_terms,
+    "length_percentiles": _q_length_percentiles,
     "minhash_signatures": _q_minhash_signatures,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,
     "simhash": _q_simhash,

@@ -620,6 +620,7 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
                 F.col("page.text").alias("text"),
                 F.size("page.links").alias("n_links"),
                 F.col("page.links").alias("links"),
+                "meta",  # Response.meta surface for item pipelines
             )
             .observe(ext_obs, F.count(F.lit(1)).alias("n"))
             .coalesce(par),

@@ -209,10 +209,21 @@ def generate(
     )
     pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
 
+    # Request.meta analogue: JSON payload on alternating seeds (None on the
+    # rest so the null path is exercised too); carried to redirect/retry
+    # descendants by the pipeline AND the oracle, never to discovered links
+    ns = min(n_seeds, n_hosts)
     seeds = pa.table(
         {
-            "url": pa.array([page_url(i, 0) for i in range(min(n_seeds, n_hosts))]),
-            "priority": pa.array([0] * min(n_seeds, n_hosts), pa.int32()),
+            "url": pa.array([page_url(i, 0) for i in range(ns)]),
+            "priority": pa.array([0] * ns, pa.int32()),
+            "meta": pa.array(
+                [
+                    f'{{"campaign":"c{i % 3}","tier":"seed"}}' if i % 2 == 0 else None
+                    for i in range(ns)
+                ],
+                pa.string(),
+            ),
         }
     )
     pq.write_table(seeds, os.path.join(out_dir, "seeds.parquet"))

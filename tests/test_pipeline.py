@@ -135,6 +135,33 @@ def test_redirect_and_retry_exercised(golden):
     assert any(r.state == "REDIRECT" for r in golden.frontier.values())
 
 
+def test_meta_propagation(spark, crawled, golden):
+    """Request.meta analogue: seed meta surfaces on extracted rows (the
+    Response.meta view item pipelines read), survives redirect/retry
+    descent (request.replace semantics), and is never inherited by
+    discovered links — oracle-mirrored per canonical url."""
+    store, _ = crawled
+    got = {
+        r["canon"]: r["meta"]
+        for r in store.read(spark, "extracted").select("canon", "meta").collect()
+    }
+    want = {
+        row.canon: row.meta
+        for row in golden.frontier.values()
+        if row.state == "FETCHED"
+    }
+    assert got == want
+    assert any(v is not None for v in got.values())  # non-null path exercised
+    assert any(v is None for v in got.values())  # null path exercised
+    # discovered links never inherit meta (only seeds and their
+    # redirect-descendants can carry one)
+    assert all(
+        row.meta is None
+        for row in golden.frontier.values()
+        if row.depth > 0 and row.redirects == 0
+    )
+
+
 def test_resume_equals_uninterrupted(spark, corpus, crawled, golden, tmp_path_factory):
     store_b_dir = str(tmp_path_factory.mktemp("store_resume"))
     # phase 1: stop after 3 rounds (simulated interruption at a boundary)

@@ -127,11 +127,11 @@ def test_batch_dedup_agg_is_partial_no_window(spark):
 
     cand = spark.createDataFrame(
         [(f"u{i % 7}", f"c{i % 7}", i, f"h{i % 3}", 1, 0, i, 0, None, 0, 0,
-          i % 4)
+          None, i % 4)
          for i in range(50)],
         "url string, canon string, url_hash long, host string, depth int, "
         "priority int, seq long, discovered_round int, parent_url string, "
-        "retries int, redirects int, bucket int",
+        "retries int, redirects int, meta string, bucket int",
     )
     rank1 = (
         cand.groupBy("canon")
