@@ -43,6 +43,7 @@ Round algorithm (THE pin; sparkcrawl/rounds.py mirrors it stage by stage):
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 import pyarrow.parquet as pq
@@ -54,6 +55,7 @@ from sparkcrawl.canon import (
     seq_for_link,
     seq_for_redirect,
     seq_for_seed,
+    seq_for_sitemap,
     url_host,
 )
 from sparkcrawl.config import CrawlConfig
@@ -164,20 +166,50 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
             "robots_deferred": 0, "robots_denied": 0, "budget_deferred": 0,
             "cap_deferred": 0, "scheduled": 0, "fetched": 0, "fetch_miss": 0,
             "http_error": 0, "retried": 0, "redirected": 0,
-            "links_extracted": 0, "depth_dropped": 0, "offsite_dropped": 0,
+            "links_extracted": 0, "sitemap_urls": 0,
+            "depth_dropped": 0, "offsite_dropped": 0,
             "nofollow_dropped": 0, "url_guard_dropped": 0, "ext_dropped": 0,
             "regex_dropped": 0,
             "dup_in_batch": 0, "dedup_dropped": 0,
             "enqueued": 0,
         }
 
-        # stage 2: robots fetch for new hosts; defer their candidates
+        # stage 2: robots fetch for new hosts; defer their candidates.
+        # Freshly fetched bodies also surface their `Sitemap:` directives as
+        # candidates THIS round (SitemapSpider robots.txt handling, pinned in
+        # CrawlConfig) — they join the round's new_links for the shared
+        # batch-dedup + seen anti-join at stage 8.
+        new_links: list[FrontierRow] = []
         if cfg.obey_robots:
             known_before = set(robots_known)
             cand_hosts = {r.host for r in queued}
             new_hosts = sorted(cand_hosts - known_before)
             for h in new_hosts:
                 robots_known[h] = robots_corpus.get(h, (None, None))
+                body = robots_known[h][1]
+                if not cfg.sitemap_enabled or not body:
+                    continue
+                for target in re.findall(CrawlConfig.SITEMAP_LINE_RE, body):
+                    m["sitemap_urls"] += 1
+                    # request replacement, not link discovery: only
+                    # URL_GUARD → OFFSITE apply (pinned order)
+                    if len(target) > cfg.url_length_limit or not target.startswith(
+                        ("http://", "https://")
+                    ):
+                        m["url_guard_dropped"] += 1
+                        continue
+                    canon = canonicalize_url(target)
+                    host = url_host(canon)
+                    if not cfg.host_allowed(host):
+                        m["offsite_dropped"] += 1
+                        continue
+                    new_links.append(
+                        FrontierRow(
+                            target, canon, host, 0, cfg.sitemap_priority,
+                            seq_for_sitemap(h, canon), "QUEUED", rnd,
+                            f"http://{h}/robots.txt",
+                        )
+                    )
             m["robots_fetched"] = len(new_hosts)
             eligible = [r for r in queued if r.host in known_before]
             m["robots_deferred"] = len(queued) - len(eligible)
@@ -216,7 +248,6 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
         res.rounds.append([r.canon for r in scheduled])
 
         # stages 6-7: fetch + extract
-        new_links: list[FrontierRow] = []
         lat_obs: dict[str, list[int]] = {}  # host → [sum_ms, n]
         for r in scheduled:
             hit = pages.get(r.canon)

@@ -30,6 +30,7 @@ __all__ = [
     "seq_for_seed",
     "seq_for_link",
     "seq_for_redirect",
+    "seq_for_sitemap",
     "resolve_redirect",
 ]
 
@@ -258,6 +259,16 @@ def seq_for_redirect(parent_seq: int, canon_url: str) -> int:
     page (different hash stream); Spark twin:
     ``xxhash64(concat_ws('\\x00', cast(seq as string), 'R', canon))``."""
     return xxh64_str(f"{parent_seq}\x00R\x00{canon_url}")
+
+
+def seq_for_sitemap(src_host: str, canon_url: str) -> int:
+    """Tie-break for a robots-advertised sitemap url. The advertising host
+    participates in the hash so two hosts advertising the SAME sitemap url
+    produce distinct seqs — min-seq batch dedup then picks a deterministic
+    winner (equal seqs would make Spark's min_by tie-break arbitrary and
+    diverge from the oracle on parent_url). Spark twin:
+    ``xxhash64(concat_ws('\\x00', 'S', src_host, canon))``."""
+    return xxh64_str(f"S\x00{src_host}\x00{canon_url}")
 
 
 def resolve_redirect(base_url: str, location: str) -> str:

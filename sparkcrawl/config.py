@@ -68,6 +68,37 @@ class CrawlConfig:
     retry_times: int = 2
     retry_http_codes: tuple[int, ...] = (500, 502, 503, 504, 522, 524, 408, 429)
     retry_priority_adjust: int = -1
+    # --- sitemap discovery (SitemapSpider analogue; upstream symbols
+    #     scrapy/spiders/sitemap.py::SitemapSpider and its documented
+    #     robots.txt handling — "you can point sitemap_urls to a robots.txt
+    #     and it will be parsed to extract sitemap urls" — pinned-spec cites
+    #     per SURVEY.md §0). Pinned round semantics, mirrored bit-for-bit in
+    #     oracle/crawler.py:
+    # * When a NEW host's robots.txt is fetched (stage 2; requires
+    #   obey_robots), its `Sitemap:` directives (SITEMAP_LINE_RE, one per
+    #   line, case-insensitive) become frontier candidates THIS round: depth
+    #   0, priority = sitemap_priority, seq = seq_for_sitemap(src_host,
+    #   canon) (the source host in the hash keeps min-seq batch dedup
+    #   deterministic when two hosts advertise the same sitemap url),
+    #   parent_url = http://<src_host>/robots.txt, meta null. Like redirect
+    #   targets — request replacement, not link discovery — only URL_GUARD →
+    #   OFFSITE gate them (F4's LinkExtractor filters do not); batch + seen
+    #   dedup apply downstream like any candidate. Metric: `sitemap_urls`
+    #   counts parsed directives pre-filter.
+    # * A fetched sitemap document (root <urlset>/<sitemapindex>) yields its
+    #   <loc> entries as its link set (extract.py kernels; text pinned "")
+    #   and flows through the NORMAL link path — F1-F4 filters, depth+1,
+    #   depth_priority decay — matching SitemapSpider's sitemap_rules
+    #   gating urls extracted FROM sitemaps. A <sitemapindex> therefore
+    #   recurses organically: child sitemaps are fetched next round as
+    #   ordinary candidates.
+    sitemap_enabled: bool = True
+    sitemap_priority: int = 0
+    # Pinned `Sitemap:` directive regex — Java∩Python subset; corpus robots
+    # bodies are \n-terminated (Java MULTILINE ^ also accepts \r/
+    # line breaks, Python only \n — identical on \n-only bodies, pinned in
+    # synth.py). Group 1 is the url.
+    SITEMAP_LINE_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"
     # --- F4 LinkExtractor allow/deny (SURVEY.md §2.2, [scrapy:
     #     scrapy/linkextractors/lxmlhtml.py::LxmlLinkExtractor] pinned) ---
     # Patterns are unanchored regex (re.search / Spark rlike — stay in the

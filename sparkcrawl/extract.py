@@ -14,12 +14,16 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from html import unescape
 from html.parser import HTMLParser
 from urllib.parse import urljoin
 
 from sparkcrawl.canon import canonicalize_url
 
-__all__ = ["decode_html", "extract_links", "extract_page", "extract_text", "Link"]
+__all__ = [
+    "decode_html", "extract_links", "extract_page", "extract_sitemap_links",
+    "extract_text", "is_sitemap", "Link",
+]
 
 _WS_RE = re.compile(r"\s+")
 _META_CHARSET_RE = re.compile(
@@ -146,14 +150,67 @@ def _finalize_links(parser, base_url: str) -> list[Link]:
 
 def extract_links(html: bytes, base_url: str) -> list[Link]:
     """Pinned link extraction (FIXTURES.md §3). Document order; see
-    :func:`_finalize_links` for the resolution rules."""
+    :func:`_finalize_links` for the resolution rules. Sitemap documents
+    (sitemaps.org ``<urlset>``/``<sitemapindex>``) yield their ``<loc>``
+    entries instead of anchors — SitemapSpider semantics (upstream symbol
+    ``scrapy/spiders/sitemap.py::SitemapSpider._parse_sitemap``, pinned-spec
+    cite per SURVEY.md §0)."""
+    doc = decode_html(html)
+    if is_sitemap(doc):
+        return extract_sitemap_links(doc, base_url)
     parser = _LinkParser()
     try:
-        parser.feed(decode_html(html))
+        parser.feed(doc)
         parser.close()
     except Exception:
         pass  # malformed HTML: keep whatever was collected
     return _finalize_links(parser, base_url)
+
+
+# --- sitemap kernels (sitemaps.org protocol; SitemapSpider analogue) ------
+# Root-element detection is bounded to the document head so an HTML page
+# that merely MENTIONS "<urlset" in body text is never misdetected; the
+# regex parse (vs a full XML parser) is pinned spec here — the corpus model
+# emits protocol-shaped sitemaps, and lxml is absent in this sandbox.
+_SITEMAP_ROOT_RE = re.compile(r"<\s*(urlset|sitemapindex)[\s>]", re.IGNORECASE)
+_SITEMAP_LOC_RE = re.compile(r"<\s*loc\s*>\s*([^<]+?)\s*<\s*/\s*loc\s*>", re.IGNORECASE)
+
+
+def is_sitemap(doc: str) -> bool:
+    """True when the decoded document's root element is ``<urlset>`` or
+    ``<sitemapindex>`` (searched within the first 1024 chars — past any XML
+    declaration / comments, before any real content)."""
+    return _SITEMAP_ROOT_RE.search(doc[:1024]) is not None
+
+
+def extract_sitemap_links(doc: str, base_url: str) -> list[Link]:
+    """``<loc>`` entries of a sitemap/sitemapindex document → Links, pinned:
+    XML-entity-unescaped (the protocol requires ``&amp;``-escaped urls),
+    urljoined against the sitemap url (spec locs are absolute; relative ones
+    resolve like any href), non-http(s) dropped, per-document uniqueness on
+    the canonical form (first occurrence wins), empty text, never nofollow.
+    Shared verbatim by the Spark extraction UDF and the oracle."""
+    out: list[Link] = []
+    seen_canon: set[str] = set()
+    for m in _SITEMAP_LOC_RE.finditer(doc):
+        href = unescape(m.group(1).strip())
+        if not href:
+            continue
+        try:
+            absu = urljoin(base_url, href)
+        except ValueError:
+            continue
+        if not (absu.startswith("http://") or absu.startswith("https://")):
+            continue
+        try:
+            canon = canonicalize_url(absu)
+        except ValueError:
+            continue
+        if canon in seen_canon:
+            continue
+        seen_canon.add(canon)
+        out.append(Link(url=absu, text="", nofollow=False))
+    return out
 
 
 class _TextParser(HTMLParser):
@@ -184,10 +241,15 @@ class _TextParser(HTMLParser):
 def extract_text(html: bytes) -> str:
     """Pinned text extraction (FIXTURES.md §3): decode; drop
     script/style/template subtrees and comments; concatenate text nodes in
-    document order; collapse whitespace runs to one space; strip."""
+    document order; collapse whitespace runs to one space; strip. Sitemap
+    documents have no prose — pinned to the empty string (their payload is
+    the ``<loc>`` link set)."""
+    doc = decode_html(html)
+    if is_sitemap(doc):
+        return ""
     parser = _TextParser()
     try:
-        parser.feed(decode_html(html))
+        parser.feed(doc)
         parser.close()
     except Exception:
         pass
@@ -273,9 +335,12 @@ def extract_page(html: bytes, base_url: str) -> tuple[str, list[Link]]:
     ``(extract_text(html), extract_links(html, base_url))`` at ~half the
     parse cost. Used by the pipeline's fetch stage; the standalone kernels
     remain the spec (and the oracle's implementation)."""
+    doc = decode_html(html)
+    if is_sitemap(doc):
+        return "", extract_sitemap_links(doc, base_url)
     parser = _PageParser()
     try:
-        parser.feed(decode_html(html))
+        parser.feed(doc)
         parser.close()
     except Exception:
         pass

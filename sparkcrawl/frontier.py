@@ -289,6 +289,60 @@ def redirects_to_candidates(
     )
 
 
+def sitemaps_to_candidates(
+    robots_rows: DataFrame, cfg: CrawlConfig, round_n: int
+) -> DataFrame:
+    """`Sitemap:` directives of freshly fetched robots.txt bodies →
+    frontier-schema candidate rows with a ``drop_reason`` column (SitemapSpider
+    robots.txt handling; pinned semantics in CrawlConfig). Input rows carry
+    ``host``/``body``. Depth 0, priority = sitemap_priority, seq =
+    seq_for_sitemap(src_host, canon) — the advertising host in the hash keeps
+    min-seq batch dedup deterministic across hosts sharing a sitemap url.
+    Like redirect targets, only URL_GUARD → OFFSITE apply (pinned order);
+    batch + seen dedup apply downstream like any candidate."""
+    sm = (
+        robots_rows.filter(F.col("body").isNotNull())
+        .select(
+            F.col("host").alias("src_host"),
+            F.explode(
+                F.regexp_extract_all(
+                    "body", F.lit(CrawlConfig.SITEMAP_LINE_RE), F.lit(1)
+                )
+            ).alias("url"),
+        )
+    )
+    sm = canonicalized(sm)
+    drop = (
+        F.when(
+            (F.length("url") > cfg.url_length_limit)
+            | ~F.col("url").rlike("^https?://"),
+            "URL_GUARD",
+        )
+        .when(~host_ok_col(cfg), "OFFSITE")
+        .otherwise(F.lit(None))
+    )
+    return (
+        sm.withColumn("drop_reason", drop)
+        .withColumn("depth", F.lit(0).cast("int"))
+        .withColumn("priority", F.lit(cfg.sitemap_priority).cast("int"))
+        .withColumn(
+            "seq",
+            F.xxhash64(
+                F.concat_ws("\x00", F.lit("S"), F.col("src_host"), F.col("canon"))
+            ),
+        )
+        .withColumn("discovered_round", F.lit(round_n).cast("int"))
+        .withColumn(
+            "parent_url",
+            F.concat(F.lit("http://"), F.col("src_host"), F.lit("/robots.txt")),
+        )
+        .withColumn("retries", F.lit(0).cast("int"))
+        .withColumn("redirects", F.lit(0).cast("int"))
+        .withColumn("meta", F.lit(None).cast("string"))
+        .drop("src_host")
+    )
+
+
 def dedup_batch(cands: DataFrame) -> DataFrame:
     """Within-batch dedup: per canonical url keep the min-seq row (order-free
     deterministic rule, D2/O4). Exact — partitions by the canonical string,

@@ -56,6 +56,7 @@ from sparkcrawl.frontier import (
     label_candidates,
     links_to_candidates,
     redirects_to_candidates,
+    sitemaps_to_candidates,
     with_bucket,
 )
 from sparkcrawl.seenfilter import (
@@ -198,7 +199,8 @@ def corpus_caps(spark: SparkSession, store: SnapStore,
     10^10-page design point this is one metadata-cheap job at crawl start,
     amortized over thousands of rounds."""
     idx = store.read(spark, "pages_idx")
-    caps = {"has_redirects": False, "has_retryable": False}
+    caps = {"has_redirects": False, "has_retryable": False,
+            "has_sitemaps": False}
     if cfg.redirect_enabled and cfg.redirect_max_times > 0:
         caps["has_redirects"] = bool(
             idx.filter(
@@ -212,6 +214,15 @@ def corpus_caps(spark: SparkSession, store: SnapStore,
             idx.filter(
                 F.col("status").isin(list(cfg.retry_http_codes))
             ).limit(1).count()
+        )
+    if cfg.obey_robots and cfg.sitemap_enabled:
+        # any `Sitemap:` directive in the robots corpus? (tiny table — hosts,
+        # not pages — so this is a metadata-cheap scan even at design scale)
+        caps["has_sitemaps"] = bool(
+            store.read(spark, "robots_corpus")
+            .filter(F.col("body").rlike(CrawlConfig.SITEMAP_LINE_RE))
+            .limit(1)
+            .count()
         )
     return caps
 
@@ -452,7 +463,9 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     # and the plan branches away entirely below — when the corpus cannot
     # produce the outcome: on an all-2xx corpus the branches are pure
     # overhead (a second scan leg + a frontier union per round).
-    caps = corpus_caps or {"has_redirects": True, "has_retryable": True}
+    caps = corpus_caps or {
+        "has_redirects": True, "has_retryable": True, "has_sitemaps": True
+    }
     is_3xx = (F.col("status") >= 300) & (F.col("status") < 400)
     redirect_follow = (
         F.lit(cfg.redirect_enabled and caps["has_redirects"])
@@ -500,6 +513,27 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         cand0_all = link_cand.unionByName(redir_cand)
     else:
         cand0_all = link_cand
+    # Sitemap discovery (SitemapSpider robots.txt handling, pinned in
+    # CrawlConfig): `Sitemap:` directives of robots bodies fetched THIS
+    # round become candidates alongside the round's links — they ride the
+    # same batch-dedup/seen/enqueue machinery and the same counts job. The
+    # leg is gated on corpus capability exactly like redirect/retry (on a
+    # directive-free corpus it is a per-round union of a provably-empty
+    # branch), and new_robots is already persisted for its deferred write,
+    # so this adds no extra robots scan.
+    sitemap_leg = (
+        cfg.obey_robots
+        and cfg.sitemap_enabled
+        and caps.get("has_sitemaps", True)
+        and new_robots is not None
+    )
+    if sitemap_leg:
+        sm_cand = (
+            sitemaps_to_candidates(new_robots, cfg, round_n)
+            .select(*FRONTIER_COLS, "drop_reason")
+            .withColumn("src", F.lit("sitemap"))
+        )
+        cand0_all = cand0_all.unionByName(sm_cand)
     cand0 = with_bucket(cand0_all, n_buckets=cfg.n_buckets).persist()
     # one counts job over ALL candidate rows (materializes the cand0 cache):
     # drop-reason + viable tallies per partition; dropped rows are never
@@ -520,15 +554,20 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     )
     n_viable = 0
     n_links_extracted = 0
+    n_sitemap_urls = 0
     for k, p, n in tagged_counts:
         src, _, st = k.partition("|")
         if src == "link":
             n_links_extracted += n
+        if src == "sitemap":
+            n_sitemap_urls += n
         if st == "viable":
             n_viable += n
         else:
             counts.append((st, p, n))
     counts.append(("links_extracted", -1, n_links_extracted))
+    if sitemap_leg:
+        counts.append(("sitemap_urls", -1, n_sitemap_urls))
     _tick("cand_counts")
 
     # Only rank-1 viable rows ever consult the seen set: this shrinks the

@@ -27,6 +27,8 @@ import random
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from xml.sax.saxutils import escape as _xml_escape
+
 from sparkcrawl.canon import xxh64_str
 from sparkcrawl.extract import extract_text
 
@@ -167,6 +169,7 @@ def generate(
     n_links: tuple[int, int] = (2, 4),
     n_paras: tuple[int, int] = (2, 5),
     media_link_rate: float = 0.0,
+    sitemap_rate: float = 0.0,
     procs: int | None = None,
 ) -> dict:
     """Write the corpus tables under ``out_dir``; returns summary counts.
@@ -194,6 +197,68 @@ def generate(
         urls.extend(u); tss.extend(t); htmls.extend(h); texts.extend(x)
         langs.extend(l); lats.extend(la); statuses.extend(st)
         locations.extend(lo)
+
+    # --- sitemaps (SitemapSpider coverage): salted-hash host choice, never
+    # the rng streams, so page bytes are identical at any rate and existing
+    # corpora are unchanged at rate 0. Only robots-having hosts participate
+    # (a sitemap is discovered via the robots `Sitemap:` directive). Hosts
+    # with ≥30 pages get a <sitemapindex> + two child <urlset>s (exercising
+    # the recursive fetch-next-round path); smaller hosts one <urlset>.
+    # Sitemap pages fetch as plain 200s (non-2xx handling is exercised by
+    # regular pages, which share the identical outcome path).
+    def _has_sitemap(i: int) -> bool:
+        if sitemap_rate <= 0:
+            return False
+        if random.Random(seed * 31 + i).random() < 0.05:
+            return False  # host has no robots row (mirror of the robots loop)
+        return (
+            xxh64_str(f"{host_name(i)}#sitemap{seed}") % 1000
+            < int(round(sitemap_rate * 1000))
+        )
+
+    _XML_HEAD = '<?xml version="1.0" encoding="UTF-8"?>\n'
+    _SM_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    n_sitemap_hosts = 0
+    for i in range(n_hosts):
+        if not _has_sitemap(i):
+            continue
+        n_sitemap_hosts += 1
+        base = f"http://{host_name(i)}"
+        locs = [j for j in range(pages_per_host) if j % 3 == 0]
+
+        def _urlset(js):
+            body = "".join(
+                f"  <url><loc>{_xml_escape(page_url(i, j))}</loc></url>\n"
+                for j in js
+            )
+            return f'{_XML_HEAD}<urlset xmlns="{_SM_NS}">\n{body}</urlset>\n'
+
+        sm_pages: list[tuple[str, str]] = []
+        if pages_per_host >= 30:
+            kids = [f"{base}/sitemap-{k}.xml" for k in (0, 1)]
+            idx = "".join(f"  <sitemap><loc>{u}</loc></sitemap>\n" for u in kids)
+            sm_pages.append(
+                (f"{base}/sitemap.xml",
+                 f'{_XML_HEAD}<sitemapindex xmlns="{_SM_NS}">\n{idx}</sitemapindex>\n')
+            )
+            for k in (0, 1):
+                sm_pages.append(
+                    (kids[k], _urlset([j for j in locs if (j // 3) % 2 == k]))
+                )
+        else:
+            sm_pages.append((f"{base}/sitemap.xml", _urlset(locs)))
+        for url, xml in sm_pages:
+            html = xml.encode("utf-8")
+            urls.append(url)
+            tss.append(EPOCH + dt.timedelta(seconds=xxh64_str(url) % 86400))
+            htmls.append(html)
+            texts.append(extract_text(html))
+            langs.append(_LANGS[xxh64_str(url) % 3])
+            lats.append(
+                50 + (xxh64_str(host_name(i)) % 10) * 100 + xxh64_str(url) % 200
+            )
+            statuses.append(200)
+            locations.append(None)
 
     pages = pa.table(
         {
@@ -237,13 +302,19 @@ def generate(
         r_hosts.append(host_name(i))
         if x < 0.10:
             r_status.append(200)
-            r_body.append("User-agent: *\nDisallow: /\n")  # deny-all host
+            body = "User-agent: *\nDisallow: /\n"  # deny-all host
         elif x < 0.30:
             r_status.append(200)
-            r_body.append("User-agent: *\nDisallow: /private/\n")
+            body = "User-agent: *\nDisallow: /private/\n"
         else:
             r_status.append(200)
-            r_body.append("")
+            body = ""
+        if _has_sitemap(i):
+            # deny-all hosts advertise too: their sitemap candidate is then
+            # ROBOTS_DENIED at schedule time (path exercised, \n-only bodies
+            # — the SITEMAP_LINE_RE multiline pin)
+            body += f"Sitemap: http://{host_name(i)}/sitemap.xml\n"
+        r_body.append(body)
     robots = pa.table(
         {
             "host": pa.array(r_hosts, pa.string()),
@@ -268,6 +339,7 @@ def generate(
         "hosts": n_hosts,
         "seeds": min(n_seeds, n_hosts),
         "robots_rows": len(r_hosts),
+        "sitemap_hosts": n_sitemap_hosts,
     }
 
 

@@ -154,3 +154,62 @@ try:
         assert links == extract_links(html, base)
 except ImportError:  # pragma: no cover
     pass
+
+
+# --- sitemap kernels (sitemaps.org protocol; SitemapSpider analogue) ------
+
+SITEMAP = (
+    b'<?xml version="1.0" encoding="UTF-8"?>\n'
+    b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+    b"  <url><loc>http://h0.example/p1.html</loc></url>\n"
+    b"  <url><loc> http://h0.example/art.php?id=3&amp;ref=home </loc></url>\n"
+    b"  <url><loc>/relative.html</loc></url>\n"
+    b"  <url><loc>ftp://h0.example/skip</loc></url>\n"
+    b"  <url><loc>http://h0.example/p1.html?</loc></url>\n"
+    b"</urlset>\n"
+)
+
+SITEMAPINDEX = (
+    b'<?xml version="1.0" encoding="UTF-8"?>\n'
+    b'<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+    b"  <sitemap><loc>http://h0.example/sitemap-0.xml</loc></sitemap>\n"
+    b"  <sitemap><loc>http://h0.example/sitemap-1.xml</loc></sitemap>\n"
+    b"</sitemapindex>\n"
+)
+
+
+def test_sitemap_loc_extraction():
+    from sparkcrawl.extract import extract_page, is_sitemap
+
+    assert is_sitemap(decode_html(SITEMAP))
+    links = extract_links(SITEMAP, "http://h0.example/sitemap.xml")
+    # entity-unescaped, whitespace-trimmed, relative resolved, non-http
+    # dropped, per-document canonical uniqueness (trailing '?' dups p1)
+    assert [l.url for l in links] == [
+        "http://h0.example/p1.html",
+        "http://h0.example/art.php?id=3&ref=home",
+        "http://h0.example/relative.html",
+    ]
+    assert all(l.text == "" and not l.nofollow for l in links)
+    # sitemap text pinned empty; one-pass kernel agrees with the standalones
+    assert extract_text(SITEMAP) == ""
+    assert extract_page(SITEMAP, "http://h0.example/sitemap.xml") == (
+        "",
+        links,
+    )
+
+
+def test_sitemapindex_recurses_as_links():
+    links = extract_links(SITEMAPINDEX, "http://h0.example/sitemap.xml")
+    assert [l.url for l in links] == [
+        "http://h0.example/sitemap-0.xml",
+        "http://h0.example/sitemap-1.xml",
+    ]
+
+
+def test_html_mentioning_urlset_is_not_a_sitemap():
+    from sparkcrawl.extract import is_sitemap
+
+    html = b"<html><body><p>the &lt;urlset&gt; tag and urlset word</p></body></html>"
+    assert not is_sitemap(decode_html(html))
+    assert extract_text(html) == "the <urlset> tag and urlset word"

@@ -27,7 +27,9 @@ CFG = CrawlConfig(round_size=50, bloom_min_seen=0)
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("corpus"))
-    generate(d, seed=42, n_hosts=5, pages_per_host=20, n_seeds=3)
+    # sitemap_rate=1.0: every robots-having host advertises a sitemap, so the
+    # equivalence suite exercises the robots→sitemap→loc-links path end to end
+    generate(d, seed=42, n_hosts=5, pages_per_host=20, n_seeds=3, sitemap_rate=1.0)
     return d
 
 
@@ -100,7 +102,7 @@ def test_metrics_match_oracle(spark, crawled, golden):
             "queued_start", "robots_fetched", "robots_deferred", "robots_denied",
             "budget_deferred", "cap_deferred", "scheduled", "fetched",
             "fetch_miss", "http_error", "retried", "redirected",
-            "links_extracted", "nofollow_dropped",
+            "links_extracted", "sitemap_urls", "nofollow_dropped",
             "url_guard_dropped", "ext_dropped", "regex_dropped",
             "depth_dropped", "offsite_dropped", "dup_in_batch",
             "dedup_dropped", "enqueued",
@@ -133,6 +135,27 @@ def test_redirect_and_retry_exercised(golden):
     assert sum(m["retried"] for m in golden.metrics) > 0
     # followed redirects appear as terminal REDIRECT frontier states
     assert any(r.state == "REDIRECT" for r in golden.frontier.values())
+
+
+def test_sitemap_discovery_exercised(golden):
+    """The corpus must actually drive the sitemap path: robots `Sitemap:`
+    directives parsed, sitemap pages fetched (parent_url = the advertising
+    robots.txt), and their <loc> entries enqueued as ordinary links."""
+    assert sum(m["sitemap_urls"] for m in golden.metrics) > 0
+    sm_rows = [
+        r for r in golden.frontier.values()
+        if r.parent_url is not None and r.parent_url.endswith("/robots.txt")
+    ]
+    assert sm_rows, "no sitemap candidates were enqueued"
+    assert any(r.state == "FETCHED" for r in sm_rows)
+    fetched_sm = {r.canon for r in sm_rows if r.state == "FETCHED"}
+    # sitemap text is pinned empty; loc-entries surface as children
+    assert all(golden.text[c] == "" for c in fetched_sm)
+    assert any(
+        r.parent_url is not None
+        and any(r.parent_url == s.url for s in sm_rows)
+        for r in golden.frontier.values()
+    ), "no loc-entry of a fetched sitemap was enqueued"
 
 
 def test_meta_propagation(spark, crawled, golden):
