@@ -86,6 +86,10 @@ class OracleResult:
     text: dict[str, str] = field(default_factory=dict)  # canon → extracted text
     metrics: list[dict] = field(default_factory=list)
     frontier: dict[str, FrontierRow] = field(default_factory=dict)
+    # CloseSpider analogue — pinned semantics + check order in
+    # sparkcrawl/config.py; the wall-clock closespider_timeout is engine-only
+    # (this oracle is instant), every other reason is mirrored bit-exactly.
+    finish_reason: str = "max_rounds"
 
 
 def load_corpus(corpus_dir: str):
@@ -157,9 +161,11 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
     robots_known: dict[str, tuple[int | None, str | None]] = {}
     lat_ewma: dict[str, int] = {}  # host → integer latency EWMA (P4)
 
+    cs_cum = {"pagecount": 0, "itemcount": 0, "errorcount": 0}
     for rnd in range(cfg.max_rounds):
         queued = [r for r in res.frontier.values() if r.state == "QUEUED"]
-        if not queued:
+        if not queued:  # only reachable with an empty seed list (the bottom
+            res.finish_reason = "finished"  # -of-loop drain check broke first)
             break
         m = {
             "round": rnd, "queued_start": len(queued), "robots_fetched": 0,
@@ -375,5 +381,29 @@ def crawl(corpus_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
             lat_ewma[h] = obs if h not in lat_ewma else (obs + lat_ewma[h]) // 2
 
         res.metrics.append(m)
+
+        # CloseSpider stop conditions (pinned cumulative counters + check
+        # order in sparkcrawl/config.py; 'finished' wins when the frontier
+        # drains in the same round a threshold trips — same as run_crawl)
+        cs_cum["pagecount"] += (
+            m["fetched"] + m["http_error"] + m["redirected"] + m["retried"]
+        )
+        cs_cum["itemcount"] += m["fetched"]
+        cs_cum["errorcount"] += m["http_error"] + m["fetch_miss"]
+        if not any(r.state == "QUEUED" for r in res.frontier.values()):
+            res.finish_reason = "finished"
+            break
+        stop = next(
+            (
+                f"closespider_{k}"
+                for k in ("pagecount", "itemcount", "errorcount")
+                if getattr(cfg, f"closespider_{k}")
+                and cs_cum[k] >= getattr(cfg, f"closespider_{k}")
+            ),
+            None,
+        )
+        if stop is not None:
+            res.finish_reason = stop
+            break
 
     return res

@@ -127,6 +127,32 @@ class CrawlConfig:
     def adaptive_cap(self, ewma_ms: int, cap_static: int) -> int:
         """Pinned cap formula (oracle side; rounds.py mirrors it in SQL)."""
         return max(1, min(cap_static, self.autothrottle_target_ms // max(ewma_ms, 1)))
+    # --- CloseSpider stop conditions ([scrapy:
+    #     scrapy/extensions/closespider.py::CloseSpider] — pinned-spec cite
+    #     per SURVEY.md §0) ---
+    # 0 disables each, matching the upstream defaults. Checks run at ROUND
+    # boundaries (the round is this engine's concurrency unit, so like
+    # upstream — which closes only after in-flight requests drain — the
+    # counters may overshoot the threshold by up to one round). Pinned
+    # cumulative counters, identical in oracle/crawler.py:
+    #   pagecount  = fetched + http_error + redirected + retried
+    #                (responses received: every scheduled row that matched a
+    #                corpus page, any status; fetch_miss got no response)
+    #   itemcount  = fetched (each 2xx page yields exactly one extracted row)
+    #   errorcount = http_error + fetch_miss
+    # Pinned check order when several trip in the same round: pagecount →
+    # itemcount → errorcount → timeout. finish_reason ∈ {finished,
+    # max_rounds, closespider_pagecount, closespider_itemcount,
+    # closespider_errorcount, closespider_timeout}; 'finished' = frontier
+    # drained, 'max_rounds' = round budget exhausted (upstream has no round
+    # budget — engine-specific reason, named honestly). closespider_timeout
+    # is wall-clock and therefore engine-only (the oracle is instant; it
+    # never reports it).
+    closespider_pagecount: int = 0
+    closespider_itemcount: int = 0
+    closespider_errorcount: int = 0
+    closespider_timeout: float = 0.0
+
     # --- D2 bloom prefilter sidecar (SURVEY.md §2.3) ---
     # Probabilistic per-bucket URL-seen filters prune the exact dedup join's
     # probe volume; semantics never depend on them (no false negatives by

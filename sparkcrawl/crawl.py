@@ -82,11 +82,15 @@ def run_crawl(
 
     summaries: list[dict] = []
     first = True
+    crawl_t0 = time.monotonic()
+    finish_reason = "max_rounds"  # loop exhausting cfg.max_rounds leaves this
+    cum = {"pagecount": 0, "itemcount": 0, "errorcount": 0}
     for rnd in range(start_round, cfg.max_rounds):
         if first:  # resume guard; later rounds know queued_end arithmetically
             # pin to the last committed round manifest — the latest snapshot
             # may belong to a crashed (uncommitted) round attempt
             if store.read_at_round(spark, "frontier", rnd - 1).isEmpty():
+                finish_reason = "finished"
                 break
             first = False
         t0 = time.monotonic()
@@ -99,8 +103,37 @@ def run_crawl(
                 f"fetched={s.get('fetched', 0)} enqueued={s.get('enqueued', 0)} "
                 f"queued_end={s['queued_end']} wall_ms={s['wall_ms']}"
             )
+        # CloseSpider stop conditions (pinned semantics + check order in
+        # CrawlConfig; the oracle mirrors all but the wall-clock timeout)
+        cum["pagecount"] += (
+            s.get("fetched", 0) + s.get("http_error", 0)
+            + s.get("redirected", 0) + s.get("retried", 0)
+        )
+        cum["itemcount"] += s.get("fetched", 0)
+        cum["errorcount"] += s.get("http_error", 0) + s.get("fetch_miss", 0)
         if s["queued_end"] == 0:
+            finish_reason = "finished"
             break
+        stop = next(
+            (
+                f"closespider_{k}"
+                for k in ("pagecount", "itemcount", "errorcount")
+                if getattr(cfg, f"closespider_{k}") and
+                cum[k] >= getattr(cfg, f"closespider_{k}")
+            ),
+            None,
+        )
+        if stop is None and cfg.closespider_timeout and (
+            time.monotonic() - crawl_t0 >= cfg.closespider_timeout
+        ):
+            stop = "closespider_timeout"
+        if stop is not None:
+            finish_reason = stop
+            break
+    if summaries:
+        summaries[-1]["finish_reason"] = finish_reason
+    if verbose:
+        print(f"crawl closed: finish_reason={finish_reason}")
     return summaries
 
 

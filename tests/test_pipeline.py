@@ -399,3 +399,53 @@ def test_round_cap_histogram_path_equals_oracle(spark, corpus, tmp_path_factory)
     seen = {r["canon"] for r in store.read(spark, "seen").select("canon").collect()}
     assert seen == o.seen
     assert any(m["cap_deferred"] > 0 for m in o.metrics)
+
+
+def test_finish_reason_matches_oracle(spark, corpus, crawled, golden, tmp_path_factory):
+    """CloseSpider analogue ([scrapy: scrapy/extensions/closespider.py] —
+    pinned-spec cite per SURVEY.md §0): pinned cumulative counters and check
+    order live in CrawlConfig; every non-wall-clock finish_reason must agree
+    with the oracle, and the stopped crawl must have run the same number of
+    rounds."""
+    from dataclasses import replace
+
+    # the unrestricted module-scope crawl: drained or round-budget-bound,
+    # whichever — pipeline and oracle must agree
+    _, summaries = crawled
+    assert summaries[-1]["finish_reason"] == golden.finish_reason
+    assert golden.finish_reason == "finished"  # this corpus drains
+
+    # pagecount threshold trips mid-crawl on both sides
+    cfg = replace(CFG, closespider_pagecount=10)
+    store_dir = str(tmp_path_factory.mktemp("store_csp"))
+    s = run_crawl(spark, corpus, store_dir, cfg)
+    o = oracle_crawl(corpus, cfg)
+    assert o.finish_reason == "closespider_pagecount"
+    assert s[-1]["finish_reason"] == "closespider_pagecount"
+    assert len(s) == len(o.metrics)
+    assert len(s) < len(summaries)  # it actually stopped early
+    # overshoot is bounded by one round (threshold checked at round end)
+    responses = sum(
+        x.get("fetched", 0) + x.get("http_error", 0)
+        + x.get("redirected", 0) + x.get("retried", 0) for x in s
+    )
+    assert responses >= 10
+    assert responses - (
+        s[-1].get("fetched", 0) + s[-1].get("http_error", 0)
+        + s[-1].get("redirected", 0) + s[-1].get("retried", 0)
+    ) < 10
+
+    # round budget exhausted → engine-specific 'max_rounds' on both sides
+    cfg = replace(CFG, max_rounds=1)
+    store_dir = str(tmp_path_factory.mktemp("store_csm"))
+    s = run_crawl(spark, corpus, store_dir, cfg)
+    o = oracle_crawl(corpus, cfg)
+    assert s[-1]["finish_reason"] == o.finish_reason == "max_rounds"
+
+    # wall-clock timeout is engine-only: any positive elapsed wall beats an
+    # epsilon timeout, so the crawl closes after exactly one round
+    cfg = replace(CFG, closespider_timeout=1e-9)
+    store_dir = str(tmp_path_factory.mktemp("store_cst"))
+    s = run_crawl(spark, corpus, store_dir, cfg)
+    assert s[-1]["finish_reason"] == "closespider_timeout"
+    assert len(s) == 1
