@@ -211,11 +211,14 @@ def main() -> None:
     mem_gb = args.worker_mem_gb or (14 if cpw >= 8 else 8)
 
     sys.path.insert(0, REPO)
+    from sparkcrawl import synth
     from sparkcrawl.synth import generate
 
+    # dir keyed on synth.FORMAT_VERSION (VERDICT r3 #2): a synth-semantics
+    # change must never silently reuse/regenerate a same-named corpus
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    corpus = (f"{base}/sparkcrawl_scaling_corpus_{args.hosts}x{args.pph}"
-              f"p{args.paras[1]}")
+    corpus = (f"{base}/sparkcrawl_scaling_corpus_{synth.FORMAT_VERSION}"
+              f"_{args.hosts}x{args.pph}p{args.paras[1]}")
     marker = os.path.join(corpus, "_DONE")
     if not os.path.exists(marker):
         print(f"generating corpus {args.hosts}x{args.pph} ...", flush=True)

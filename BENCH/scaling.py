@@ -107,13 +107,17 @@ def main() -> None:
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
+    from sparkcrawl import synth
     from sparkcrawl.synth import generate
 
     # Common-Crawl-ish page weight (~9 KB html, ~40 links); corpus + spark
     # scratch live on tmpfs — the sandbox VM disk has bursty writeback
-    # latency that would pollute the scaling signal (real clusters use NVMe)
+    # latency that would pollute the scaling signal (real clusters use NVMe).
+    # Dir keyed on synth.FORMAT_VERSION (VERDICT r3 #2) so synth-semantics
+    # changes never silently reuse/regenerate a same-named corpus.
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    corpus = f"{base}/sparkcrawl_scaling_corpus_{args.hosts}x{args.pph}"
+    corpus = (f"{base}/sparkcrawl_scaling_corpus_{synth.FORMAT_VERSION}"
+              f"_{args.hosts}x{args.pph}")
     marker = os.path.join(corpus, "_DONE")
     if not os.path.exists(marker):
         print(f"generating corpus {args.hosts}x{args.pph} ...", flush=True)

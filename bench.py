@@ -40,11 +40,18 @@ def bench_corpus() -> str:
 
     Every host is seeded and budgets are generous so rounds saturate the
     global round cap — the bench measures engine throughput, not politeness
-    starvation (the politeness-bound regime is covered by the tests)."""
+    starvation (the politeness-bound regime is covered by the tests).
+
+    The cache dir is keyed on synth.FORMAT_VERSION so a synth-semantics
+    change can never regenerate different data under the same name
+    (VERDICT r3 #2) — the corpus version also lands in the bench JSON so
+    round-over-round walls are only compared like-for-like."""
+    from sparkcrawl import synth
     from sparkcrawl.synth import generate
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    d = f"{base}/sparkcrawl_bench_corpus_v3_{BENCH_HOSTS}x{BENCH_PPH}"
+    d = (f"{base}/sparkcrawl_bench_corpus_{synth.FORMAT_VERSION}"
+         f"_{BENCH_HOSTS}x{BENCH_PPH}")
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         generate(d, seed=42, n_hosts=BENCH_HOSTS, pages_per_host=BENCH_PPH,
@@ -53,6 +60,46 @@ def bench_corpus() -> str:
                  procs=min(16, os.cpu_count() or 8))
         open(marker, "w").write("ok")
     return d
+
+
+def machine_calib() -> dict:
+    """Pinned single-thread microbench of the crawl's dominant kernel
+    (pure-Python page extraction — no Spark, no JVM). Emitted with every
+    bench JSON so round-over-round walls can be normalized for sandbox
+    machine drift/steal (VERDICT r3: a uniform ~40% wall inflation with
+    identical plans was adjudicated as VM slowdown; this number makes that
+    adjudication one division instead of a forensic session)."""
+    import random
+    import time
+
+    from sparkcrawl.extract import extract_page
+
+    # fixed ~Common-Crawl-weight page: ~90 paragraphs + 40 links, seeded rng
+    rng = random.Random(1234)
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india".split()
+    paras = "".join(
+        "<p>" + " ".join(rng.choice(words) for _ in range(10)) + "</p>"
+        for _ in range(90)
+    )
+    anchors = "".join(
+        f'<a href="/p{rng.randrange(500)}.html">x</a> ' for _ in range(40)
+    )
+    html = (
+        '<html><head><title>calib</title><meta charset="utf-8"></head>'
+        f"<body>{paras}{anchors}</body></html>"
+    ).encode()
+    url = "http://h7.example/p13.html"
+    # warm-up then a fixed rep count; single thread so steal shows directly
+    for _ in range(20):
+        extract_page(html, url)
+    reps = 400
+    t0 = time.monotonic()
+    for _ in range(reps):
+        extract_page(html, url)
+    wall = time.monotonic() - t0
+    return {"kernel": "extract_page x400 (1 thread)",
+            "wall_sec": round(wall, 3),
+            "pages_per_sec": round(reps / wall, 1)}
 
 
 def run_crawl_bench(spark) -> dict:
@@ -92,9 +139,11 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    from sparkcrawl import synth
     from sparkcrawl.queries import queries
     from sparkcrawl.session import get_spark
 
+    calib = machine_calib()
     spark = get_spark(cores=cpus, app="sparkcrawl-bench")
     q = queries()
     timings: dict[str, float] = {}
@@ -122,6 +171,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "crawl": crawl,
                 "cpus": cpus,
+                "corpus_version": synth.FORMAT_VERSION,
+                "machine_calib": calib,
             }
         )
     )

@@ -34,6 +34,17 @@ from sparkcrawl.extract import extract_text
 
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 
+# Bump whenever generate()'s output for the SAME parameters can change
+# (new columns, different statuses/links/latencies, …). Corpus caches —
+# bench.py and the scaling harness — key their directories on this, so a
+# semantics change can never silently re-use (or be measured against) a
+# stale corpus under the same name (VERDICT r3 #2: the r3 bench regenerated
+# a same-named cache with ~12% non-2xx rows, making round-over-round
+# throughput uninterpretable).
+# History: v3 = all-200 corpus (rounds 1–2); v4 = status/location/retry
+# semantics added in f79a68f (round 3).
+FORMAT_VERSION = "v4"
+
 _WORDS = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
     "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "

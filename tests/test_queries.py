@@ -55,6 +55,22 @@ def test_every_query_has_callable_and_most_have_oracles():
     assert set(no_oracle) <= {"approx_users"}, no_oracle
 
 
+def test_driver_window_holds_every_entry_needing_a_green_row():
+    """The driver's CORRECTNESS gate checks only list(queries())[:50]
+    (VERDICT r3 #1). Every entry without prior driver-green history must sit
+    inside that window; only rounds-1–3-green TPC-H shapes may overflow it."""
+    order = list(Q)
+    window = set(order[:50])
+    must_be_checked = {
+        "embed_norms", "event_pivot", "multimodal_bytes", "link_filter",
+        "rolling_avg", "canonicalize", "multimodal_decode",
+        "dedup_components", "approx_users", "stream_dedup",
+    }
+    assert must_be_checked <= window, sorted(must_be_checked - window)
+    overflow = set(order[50:])
+    assert all(n.startswith("tpch_") for n in overflow), sorted(overflow)
+
+
 @pytest.mark.parametrize("name", sorted(Q))
 def test_query_matches_oracle(spark, duck, name):
     sdf = Q[name](spark, SF_DIR)
