@@ -182,6 +182,18 @@ class CrawlConfig:
     # shuffle join (same verdicts, property-tested) instead of broadcasting.
     # ~2M keys ≈ 60 MB serialized — a sane executor-memory budget.
     dedup_broadcast_max: int = 2_000_000
+    # Fetch-join broadcast guard (VERDICT r3 #4b): the fetch joins the round
+    # batch against the bucket-partitioned corpus scan via broadcast(batch)
+    # so the html bytes never move and extraction runs inside the scan
+    # stage. At the design point's round_size ~10^7 that broadcast is
+    # multi-GB to every executor; past this many scheduled rows the round
+    # falls back to a shuffle join on the bucket-aligned keys (identical
+    # fetched set, property-tested). In the fallback Spark must exchange
+    # the corpus leg too — on the real Iceberg deployment both tables are
+    # bucket-partitioned by url_hash, so storage-partitioned joins
+    # (spark.sql.sources.v2.bucketing.enabled) eliminate that exchange;
+    # pages_idx is bucket-partitioned precisely to keep that plan available.
+    fetch_broadcast_max: int = 2_000_000
     # Strategy threshold: while the seen set is below this many keys the
     # exact dedup join runs directly (Spark/AQE broadcasts the small seen
     # side — fewer stages per round); past it, the bloom probe + broadcast

@@ -146,9 +146,46 @@ def prepare_pages(
     # splits, and splits cannot cross row-group boundaries — the default
     # 128 MB block gives ONE row group per bucket file (unsplittable → task
     # count stuck at N_BUCKETS no matter the cluster size)
-    return store.overwrite(
+    snap = store.overwrite(
         "pages_idx", idx, partition_by=["bucket"],
         options={"parquet.block.size": str(8 * 1024 * 1024)},
+    )
+    # One-time slim redirect index (VERDICT r3 #4): the per-round redirect
+    # leg needs ONLY (bucket, url_hash, canon, page_url, status, location)
+    # of 3xx rows. Reading those out of pages_idx per round can't prune —
+    # 3xx rows are hash-scattered, so virtually every row group contains one
+    # and row-group stats eliminate nothing: at the 10^10-page design point
+    # that is a full-corpus metadata+column scan per round, thousands of
+    # times. Materializing the ~6%-of-pages slice once (no html, still
+    # bucket-partitioned so the fetch join stays co-aligned) makes the leg's
+    # per-round scan proportional to the redirect population instead.
+    redirects = (
+        store.read(spark, "pages_idx", snap)
+        .filter(
+            (F.col("status") >= 300)
+            & (F.col("status") < 400)
+            & F.col("location").isNotNull()
+        )
+        .select("bucket", "url_hash", "canon", "page_url", "status", "location")
+    )
+    store.overwrite("redirects_idx", redirects, partition_by=["bucket"])
+    return snap
+
+
+def redirect_index(spark: SparkSession, store: SnapStore,
+                   pages_idx: DataFrame) -> DataFrame:
+    """Slim source for the per-round redirect leg: the one-time
+    ``redirects_idx`` table when present (only followable-3xx rows, no html
+    — VERDICT r3 #4), else the pruned pages_idx scan for stores prepared
+    before the table existed."""
+    if store.exists("redirects_idx"):
+        return store.read(spark, "redirects_idx")
+    return pages_idx.select(
+        "bucket", "url_hash", "canon", "page_url", "status", "location",
+    ).filter(
+        (F.col("status") >= 300)
+        & (F.col("status") < 400)
+        & F.col("location").isNotNull()
     )
 
 
@@ -202,13 +239,19 @@ def corpus_caps(spark: SparkSession, store: SnapStore,
     caps = {"has_redirects": False, "has_retryable": False,
             "has_sitemaps": False}
     if cfg.redirect_enabled and cfg.redirect_max_times > 0:
-        caps["has_redirects"] = bool(
-            idx.filter(
-                (F.col("status") >= 300)
-                & (F.col("status") < 400)
-                & F.col("location").isNotNull()
-            ).limit(1).count()
-        )
+        if store.exists("redirects_idx"):
+            # the slim one-time index holds exactly the followable-3xx rows
+            caps["has_redirects"] = bool(
+                store.read(spark, "redirects_idx").limit(1).count()
+            )
+        else:  # legacy store prepared before redirects_idx existed
+            caps["has_redirects"] = bool(
+                idx.filter(
+                    (F.col("status") >= 300)
+                    & (F.col("status") < 400)
+                    & F.col("location").isNotNull()
+                ).limit(1).count()
+            )
     if cfg.retry_enabled and cfg.retry_times > 0:
         caps["has_retryable"] = bool(
             idx.filter(
@@ -417,12 +460,21 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     # accounting still applies) but never extracted — their html is nulled
     # BEFORE the UDF so the python stage pays nothing for them and their
     # link list is empty by construction (HttpErrorMiddleware semantics).
+    # Broadcast guard (VERDICT r3 #4b, mirrors dedup_broadcast_max): the
+    # batch size is driver-known (n_sched), so past fetch_broadcast_max the
+    # round uses the shuffle join instead of an unbounded multi-GB broadcast
+    # — see CrawlConfig.fetch_broadcast_max for the design-scale plan.
+    fetch_bcast = n_sched <= cfg.fetch_broadcast_max
+
+    def _keys_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if fetch_bcast else df
+
     fetched = (
         pages_idx.select(
             "bucket", "url_hash", "canon", "page_url", "html", "latency_ms",
             "status", "location",
         )
-        .join(F.broadcast(keys), ["bucket", "url_hash", "canon"], "inner")
+        .join(_keys_side(keys), ["bucket", "url_hash", "canon"], "inner")
         .withColumn(
             "html", F.when(F.col("status") == 200, F.col("html"))
         )
@@ -434,7 +486,7 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         fetched.count()
         _tick("fetch_extract_only")
     missed = keys.join(
-        F.broadcast(fetched.select("bucket", "url_hash", "canon")),
+        _keys_side(fetched.select("bucket", "url_hash", "canon")),
         ["bucket", "url_hash", "canon"],
         "left_anti",
     ).select(*FRONTIER_COLS)
@@ -484,25 +536,19 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     link_cand = links_to_candidates(
         fetched.withColumn("links", F.col("page.links")), cfg, round_n
     ).select(*FRONTIER_COLS, "drop_reason").withColumn("src", F.lit("link"))
-    # The redirect leg re-reads pages_idx with ONLY the slim scalar columns
-    # (status/location/urls — parquet column pruning; no html bytes, no
-    # extraction UDF) instead of consuming the `fetched` cache: both union
-    # legs land in the same counts job, and a second consumer of the
-    # NOT-YET-materialized cache would race the link leg into computing the
-    # extraction twice per partition (measured: +33% on the peak cluster
-    # round). The 3xx filter pushes into the scan, so the leg reads almost
-    # nothing on redirect-light corpora.
+    # The redirect leg reads the one-time slim `redirects_idx` table (only
+    # followable-3xx rows, no html — VERDICT r3 #4) instead of consuming the
+    # `fetched` cache: both union legs land in the same counts job, and a
+    # second consumer of the NOT-YET-materialized cache would race the link
+    # leg into computing the extraction twice per partition (measured: +33%
+    # on the peak cluster round). Scanning pages_idx here instead would be a
+    # per-round full-corpus metadata+column scan at design scale — 3xx rows
+    # are hash-scattered, so row-group stats prune nothing. Legacy stores
+    # without the table fall back to the pruned pages_idx scan.
     if cfg.redirect_enabled and caps["has_redirects"]:
         redir_src = (
-            pages_idx.select(
-                "bucket", "url_hash", "canon", "page_url", "status", "location",
-            )
-            .filter(
-                (F.col("status") >= 300)
-                & (F.col("status") < 400)
-                & F.col("location").isNotNull()
-            )
-            .join(F.broadcast(keys), ["bucket", "url_hash", "canon"], "inner")
+            redirect_index(spark, store, pages_idx)
+            .join(_keys_side(keys), ["bucket", "url_hash", "canon"], "inner")
             .filter(redirect_follow)
         )
         redir_cand = (
