@@ -29,6 +29,9 @@ HEADLINE = [
     "seen_antijoin",
     # round 2 additions
     "ann_ivf_multiprobe", "multimodal_decode", "rolling_avg", "link_filter",
+    # round 4 additions (media decode→index→probe; data-hygiene sweeps;
+    # the streaming windowed-agg gate)
+    "media_ann", "contamination", "tfidf_top_terms", "stream_window_counts",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))

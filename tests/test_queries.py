@@ -65,6 +65,9 @@ def test_driver_window_holds_every_entry_needing_a_green_row():
         "embed_norms", "event_pivot", "multimodal_bytes", "link_filter",
         "rolling_avg", "canonicalize", "multimodal_decode",
         "dedup_components", "approx_users", "stream_dedup",
+        # round 4 additions — no driver history yet
+        "media_ann", "stream_window_counts", "boilerplate_ngrams",
+        "contamination", "tfidf_top_terms", "pack_sequences",
     }
     assert must_be_checked <= window, sorted(must_be_checked - window)
     overflow = set(order[50:])
