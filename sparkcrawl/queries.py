@@ -816,8 +816,9 @@ def _q_tfidf_top_terms(engine: str) -> str:
     # idf (N - df + 0.5)/(df + 0.5) — no log(), so the doubles are the same
     # IEEE ops on both engines. Two partial-agg shuffles over the small
     # (doc, term) / (term) key spaces + one broadcastable df join; the
-    # per-doc ROW_NUMBER window partitions by doc_id, which is exactly the
-    # tf aggregation's partitioning — no extra exchange at scale.
+    # per-doc ROW_NUMBER window re-exchanges on doc_id, but over the
+    # already-aggregated (doc, term, tf) rows — orders of magnitude lighter
+    # than the token explode, which never shuffles.
     if engine == "spark":
         ex = "SELECT doc_id, explode(split(text, ' ')) AS term FROM documents"
     else:
