@@ -878,6 +878,61 @@ def _q_pack_sequences(engine: str) -> str:
     """
 
 
+def _q_pagerank(engine: str) -> str:
+    # Link-analysis centrality (PageRank, 5 unrolled iterations) over a
+    # deterministic link graph on documents: doc d links to (d² + 1) % N,
+    # d DIV 2, and (13d + 7) % N — fixed out-degree 3 but deliberately
+    # irregular in-degree (the quadratic map collides, the halving map makes
+    # low-id hubs — affine maps alone are permutations mod N and collapse to
+    # the uniform fixpoint), so the
+    # operator under test is the distributed rank propagation, not the edge
+    # source (in the crawl the edge table is the extracted-links snapshot
+    # joined exactly the same way). All arithmetic is integer micro-units
+    # (rank0 = 1e6 per node; r' = 150000 + (850 * Σ(rank DIV 3)) DIV 1000,
+    # i.e. damping 0.85 applied in fixed point): BIGINT sums are
+    # order-independent, so Spark ≡ DuckDB bit-exactly — the same pattern as
+    # the integer-cents money aggregations. At scale each iteration is one
+    # equi-join of ranks against edges hash-partitioned on the join key plus
+    # one partial-agg shuffle on dst; the unrolled-CTE plan keeps every
+    # iteration inside one Catalyst plan (fixed iteration count — the
+    # driver-loop variant for convergence-tested propagation is
+    # dedup_components). Dangling mass is dropped deliberately: rank here
+    # ORDERS survivors (canonical-doc selection), it is not a probability.
+    if engine == "spark":
+        def idiv(a: str, b: int) -> str:
+            return f"({a}) DIV {b}"
+    else:
+        def idiv(a: str, b: int) -> str:
+            return f"({a}) // {b}"
+    iters = []
+    prev = "r0"
+    for k in range(1, 6):
+        contrib = idiv("r.pr", 3)
+        damped = idiv("850 * COALESCE(s.c, 0)", 1000)
+        iters.append(f"""
+      r{k} AS (
+        SELECT d.doc_id, CAST(150000 + ({damped}) AS BIGINT) AS pr
+        FROM docs d LEFT JOIN (
+          SELECT e.dst AS doc_id, SUM({contrib}) AS c
+          FROM edges e JOIN {prev} r ON r.doc_id = e.src
+          GROUP BY e.dst) s ON s.doc_id = d.doc_id)""")
+        prev = f"r{k}"
+    return f"""
+      WITH docs AS (SELECT doc_id FROM documents),
+      nn AS (SELECT COUNT(*) AS n FROM documents),
+      edges AS (
+        SELECT doc_id AS src, (doc_id * doc_id + 1) % nn.n AS dst FROM docs, nn
+        UNION ALL
+        SELECT doc_id, {("doc_id DIV 2" if engine == "spark" else "doc_id // 2")} FROM docs, nn
+        UNION ALL
+        SELECT doc_id, (13 * doc_id + 7) % nn.n FROM docs, nn),
+      r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM docs),{",".join(iters)}
+      SELECT doc_id, pr AS pr_micro FROM r5
+      ORDER BY pr DESC, doc_id ASC
+      LIMIT 20
+    """
+
+
 def _shingles(engine: str) -> str:
     """Word-3-gram shingle array from text (1-based element access on both)."""
     if engine == "spark":
@@ -1372,6 +1427,7 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "contamination": _q_contamination,
     "tfidf_top_terms": _q_tfidf_top_terms,
     "pack_sequences": _q_pack_sequences,
+    "pagerank": _q_pagerank,
     "minhash_signatures": _q_minhash_signatures,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,
     "simhash": _q_simhash,
@@ -2085,6 +2141,9 @@ _DEFERRED_PAST_DRIVER_WINDOW = [
     # stream_window_counts — the kept set q1/q3/q5/q6/q18/q21 still spans
     # scan-agg, join-agg, pushdown scan, group-having, EXISTS/NOT-EXISTS
     "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q19", "tpch_q22",
+    # round 4b: q18 (join-agg + group-having, green r1–r3) overflows to make
+    # room for pagerank; q1/q3/q5/q6/q21 keep every TPC-H shape family
+    "tpch_q18",
 ]
 
 # DataFrame twins where Spark's CTE inlining would recompute expensive
