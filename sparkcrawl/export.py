@@ -38,18 +38,24 @@ def export_extracted(
     out_dir: str,
     fmt: str = "jsonl",
     snapshot_id: int | None = None,
+    stages=None,
 ) -> int:
     """Write the extracted table (latest snapshot by default) to ``out_dir``
     in ``fmt``; returns the exported row count (via Observation — no extra
-    job)."""
+    job). ``stages`` (sparkcrawl.pipelines Stage sequence) runs the item
+    pipeline chain inside the same plan as the write — the Scrapy
+    items → pipelines → feed-export flow as one fused Spark job."""
     from pyspark.sql import Observation
 
     if fmt not in EXPORT_FORMATS:
         raise ValueError(f"fmt must be one of {EXPORT_FORMATS}, got {fmt!r}")
     obs = Observation()
-    df = extracted_view(spark, store, snapshot_id).observe(
-        obs, F.count(F.lit(1)).alias("n")
-    )
+    df = extracted_view(spark, store, snapshot_id)
+    if stages:
+        from sparkcrawl.pipelines import apply_pipelines
+
+        df = apply_pipelines(df, stages).df
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     if fmt == "jsonl":
         df.write.mode("overwrite").json(out_dir)
     else:
