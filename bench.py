@@ -32,6 +32,8 @@ HEADLINE = [
     # round 4 additions (media decode→index→probe; data-hygiene sweeps;
     # the streaming windowed-agg gate)
     "media_ann", "contamination", "tfidf_top_terms", "stream_window_counts",
+    # round 4b: iterative propagation + sub-document dedup
+    "pagerank", "paragraph_dedup",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))
