@@ -783,15 +783,10 @@ def _q_boilerplate_ngrams(engine: str) -> str:
     """
 
 
-def _q_paragraph_dedup(engine: str) -> str:
-    # Sub-document exact dedup (C4/CCNet strip repeated lines; Dolma dedups
-    # paragraphs by hash): the synthetic corpus is a flat word stream, so the
-    # "paragraph" unit is the non-overlapping 10-word chunk. Every chunk's
-    # document frequency is one partial-agg shuffle of (chunk, doc_id); the
-    # join back is an equi-join on the chunk string (at scale: on its 60-bit
-    # TOKHASH) — full text never shuffles, and per-doc output is the dedup
-    # manifest a cleaning pass would apply (chunks to drop + tokens saved).
-    # Verified non-vacuous: ~110 cross-doc shared chunks at sf0.001/sf0.01.
+def _paragraph_chunks_ex(engine: str) -> str:
+    """The (doc_id, chunk) explode subquery shared by the SQL text and the
+    Spark DataFrame twin (which computes it ONCE and persists — see
+    _paragraph_dedup_spark)."""
     if engine == "spark":
         chunks = (
             "transform(sequence(1, size(split(text,' ')) DIV 10), "
@@ -812,6 +807,21 @@ def _q_paragraph_dedup(engine: str) -> str:
             f"SELECT doc_id, unnest({chunks}) AS chunk FROM documents "
             "WHERE len(string_split(text,' ')) >= 10"
         )
+    return ex
+
+
+def _q_paragraph_dedup(engine: str) -> str:
+    # Sub-document exact dedup (C4/CCNet strip repeated lines; Dolma dedups
+    # paragraphs by hash): the synthetic corpus is a flat word stream, so the
+    # "paragraph" unit is the non-overlapping 10-word chunk. Every chunk's
+    # document frequency is one partial-agg shuffle of (chunk, doc_id); the
+    # join back is an equi-join on the chunk string (at scale: on its 60-bit
+    # TOKHASH) — full text never shuffles, and per-doc output is the dedup
+    # manifest a cleaning pass would apply (chunks to drop + tokens saved).
+    # Verified non-vacuous: ~110 cross-doc shared chunks at sf0.001/sf0.01.
+    # The Spark side runs as a DataFrame twin (chunk set computed once,
+    # persisted) — this SQL text is the DuckDB oracle and the semantics pin.
+    ex = _paragraph_chunks_ex(engine)
     return f"""
       WITH ch AS ({ex}),
       freq AS (
@@ -2196,6 +2206,68 @@ _DEFERRED_PAST_DRIVER_WINDOW = [
     "tpch_q5",
 ]
 
+def _paragraph_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame twin of the shared SQL: the WITH ch AS (...) subquery feeds
+    # both the docfreq aggregation and the join-back side, and Spark inlines
+    # CTEs — the plain SQL plan scans+explodes the text column TWICE (plan
+    # audit round 4: 4 parquet scans). Explode ONCE, persist the (doc_id,
+    # chunk) set, then aggregate + join against the persisted sketch — at
+    # 100 TB the text pass is the dominant cost and must happen exactly once.
+    from pyspark.sql import functions as F
+
+    release_cached()
+    register_views(spark, sf_dir)
+    ch = _persist_tracked(spark.sql(_paragraph_chunks_ex("spark")))
+    freq = ch.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("docfreq"))
+    shared = F.sum(F.when(F.col("docfreq") > 1, 1).otherwise(0))
+    return (
+        ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+             shared.cast("long").alias("n_shared_chunks"),
+             F.sum(F.when(F.col("docfreq") > 1, 10).otherwise(0))
+             .cast("long").alias("dup_tokens"))
+        .filter(F.col("n_shared_chunks") > 0)
+        .select("doc_id", "n_chunks", "n_shared_chunks", "dup_tokens")
+    )
+
+
+def _pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame twin of the shared SQL: nested rank CTEs inline the edges
+    # CTE (and the docs scan under it) into every iteration — the plain SQL
+    # plan re-scanned documents 72× for 5 iterations (plan audit round 4).
+    # Build the edge table ONCE, persist it, and chain the 5 iterations as
+    # joins against the persisted edges: per iteration exactly one equi-join
+    # shuffle + one partial-agg shuffle, the shape the in-code rationale
+    # promises. Arithmetic is the identical fixed-point integer recurrence,
+    # so the result stays bit-exact vs the DuckDB oracle.
+    from pyspark.sql import functions as F
+
+    release_cached()
+    register_views(spark, sf_dir)
+    docs = _persist_tracked(spark.table("documents").select("doc_id"))
+    n = docs.count()  # scalar build step, like the IVF centroid count
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     F.expr(f"(doc_id * doc_id + 1) % {n}").alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     F.expr("doc_id DIV 2").alias("dst"))
+    e3 = docs.select(F.col("doc_id").alias("src"),
+                     F.expr(f"(13 * doc_id + 7) % {n}").alias("dst"))
+    edges = _persist_tracked(e1.unionByName(e2).unionByName(e3))
+    r = docs.select("doc_id", F.lit(1000000).cast("long").alias("pr"))
+    for _ in range(5):
+        s = (edges.join(r, edges.src == r.doc_id)
+             .select(edges.dst, F.expr("pr DIV 3").alias("c"))
+             .groupBy("dst").agg(F.sum("c").alias("c")))
+        r = (docs.join(s, docs.doc_id == s.dst, "left")
+             .select(docs.doc_id,
+                     F.expr("CAST(150000 + (850 * COALESCE(c, 0)) DIV 1000 "
+                            "AS BIGINT)").alias("pr")))
+    return (r.orderBy(F.desc("pr"), F.asc("doc_id")).limit(20)
+            .select("doc_id", F.col("pr").alias("pr_micro")))
+
+
 # DataFrame twins where Spark's CTE inlining would recompute expensive
 # sketches per UNION branch (oracle SQL unchanged — same result sets), plus
 # the non-SQL entries (streaming gate, HLL rows-only check, mapInPandas
@@ -2216,6 +2288,9 @@ _DF_TWINS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window_counts": _stream_window_counts_spark,
     # multimodal decode → persisted feature index → IVF probe, end to end
     "media_ann": _media_ann_spark,
+    # round 4: single text pass / single edge build instead of CTE re-inline
+    "paragraph_dedup": _paragraph_dedup_spark,
+    "pagerank": _pagerank_spark,
 }
 
 

@@ -193,3 +193,36 @@ def test_batch_dedup_agg_is_partial_no_window(spark):
     plan = _plan(rank1)
     assert "partial_min_by" in plan, plan  # map-side combine before shuffle
     assert "Window" not in plan, plan
+
+
+def test_paragraph_dedup_single_text_pass(spark):
+    """The paragraph_dedup twin must explode the text column ONCE: the chunk
+    set is persisted and both consumers (docfreq agg, join-back) read the
+    cache — the plain-SQL CTE plan scanned+exploded text twice. Formatted
+    plans inline the cache-build subplan per InMemoryTableScan reference, so
+    the assertable property is: every parquet scan of documents sits UNDER
+    an InMemoryTableScan (cache materialization), and only doc_id+text are
+    read."""
+    from sparkcrawl.queries import queries
+
+    df = queries()["paragraph_dedup"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_builds_edges_once_no_nested_loop(spark):
+    """The pagerank twin must join each iteration against the PERSISTED edge
+    table: the unrolled-CTE SQL re-inlined the edges CTE into every
+    iteration (72 parquet scans for 5 iterations) and attached the COUNT(*)
+    scalar via a BroadcastNestedLoopJoin. The twin's plan has cached edges
+    (InMemoryTableScan), no nested-loop join, and reads only doc_id."""
+    from sparkcrawl.queries import queries
+
+    df = queries()["pagerank"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+    assert "text" not in plan, plan  # column pruning: rank never reads text
