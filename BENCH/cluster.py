@@ -47,10 +47,11 @@ from sparkcrawl.config import CrawlConfig
 from sparkcrawl.crawl import run_crawl
 
 corpus = sys.argv[1]; round_size = int(sys.argv[2]); rounds = int(sys.argv[3])
+n_runs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 cfg = CrawlConfig(round_size=round_size, max_rounds=rounds,
                   depth_limit=50, max_per_round_default=2000)
 results = []
-for run in (1, 2, 3):
+for run in range(1, n_runs + 1):
     store = tempfile.mkdtemp(prefix=f"cluster_store_{run}_", dir="/dev/shm")
     summaries = run_crawl(spark, corpus, store, cfg, verbose=True)
     sched = sum(s.get("scheduled", 0) for s in summaries)
@@ -73,7 +74,7 @@ spark.stop()
 # monotonically). Steal noise is strictly one-sided, so the BEST of the
 # two post-warmup runs is the least-biased steady-state estimate; both
 # runs are recorded.
-best = min(results[1:], key=lambda r: r["wall_sec"])
+best = min(results[1:] or results, key=lambda r: r["wall_sec"])
 best["all_runs"] = [
     {"wall_sec": r["wall_sec"], "throughput": r["throughput"]} for r in results
 ]
@@ -147,7 +148,8 @@ class Cluster:
 
 
 def run_level(n_workers: int, corpus: str, round_size: int, rounds: int,
-              pyfiles: str, cpw: int, mem_gb: int) -> dict:
+              pyfiles: str, cpw: int, mem_gb: int, n_runs: int = 3,
+              profile: bool = False) -> dict:
     total_cores = n_workers * cpw
     child = tempfile.NamedTemporaryFile(
         "w", suffix=".py", prefix="cluster_child_", delete=False)
@@ -162,9 +164,12 @@ def run_level(n_workers: int, corpus: str, round_size: int, rounds: int,
            "--master", MASTER_URL, "--py-files", pyfiles]
     for k, v in confs.items():
         cmd += ["--conf", f"{k}={v}"]
-    cmd += [child.name, corpus, str(round_size), str(rounds)]
+    cmd += [child.name, corpus, str(round_size), str(rounds), str(n_runs)]
+    env = dict(os.environ)
+    if profile:  # stage ticks are driver-side (rounds.py), so the child
+        env["SPARKCRAWL_PROFILE"] = "1"  # driver env is what matters
     with Cluster(n_workers, cpw, mem_gb):
-        out = _sh(cmd, timeout=7200)
+        out = _sh(cmd, timeout=7200, env=env)
     os.unlink(child.name)
     warm = result = None
     for line in out.stdout.splitlines():
@@ -201,6 +206,11 @@ def main() -> None:
     ap.add_argument("--regen-md", action="store_true",
                     help="rewrite BENCH/BASELINE.md from the recorded "
                          "cluster_result.json without running anything")
+    ap.add_argument("--diagnose", action="store_true",
+                    help="attribution mode: warmup + 1 measured run per "
+                         "level with SPARKCRAWL_PROFILE=1 stage ticks; "
+                         "prints per-stage speedups and does NOT touch "
+                         "cluster_result.json / BASELINE.md")
     args = ap.parse_args()
     if args.regen_md:
         with open(os.path.join(REPO, "BENCH", "cluster_result.json")) as f:
@@ -238,14 +248,31 @@ def main() -> None:
 
     lo, hi = args.levels
     results = {}
+    n_runs = 2 if args.diagnose else 3
     for n in (hi, lo):
         print(f"running {n}-worker cluster ({n * cpw} cores) ...", flush=True)
         results[n] = run_level(n, corpus, args.round_size, args.rounds,
-                               pyfiles, cpw, mem_gb)
+                               pyfiles, cpw, mem_gb, n_runs=n_runs,
+                               profile=args.diagnose)
         print(results[n], flush=True)
 
     thr_lo, thr_hi = results[lo]["throughput"], results[hi]["throughput"]
     factor = hi / lo
+    if args.diagnose:
+        eff = round((thr_hi / thr_lo) / factor, 3)
+        print(f"DIAG efficiency={eff} (not recorded)")
+        lo_st = results[lo].get("stage_ms") or []
+        hi_st = results[hi].get("stage_ms") or []
+        for i, (a, b) in enumerate(zip(lo_st, hi_st)):
+            parts = []
+            for k in a:
+                if k in b and b[k]:
+                    parts.append(f"{k} {a[k]}→{b[k]} ({a[k]/b[k]:.2f}×)")
+            print(f"DIAG round {i}: " + "; ".join(parts))
+        with open("/tmp/cluster_diag.json", "w") as f:
+            json.dump({str(k): v for k, v in results.items()}, f, indent=2)
+        print("wrote /tmp/cluster_diag.json")
+        return
     eff = round((thr_hi / thr_lo) / factor, 3)
     exp = {"levels": {str(k): v for k, v in results.items()},
            "cores_per_worker": cpw, "worker_factor": factor,
