@@ -9,3 +9,12 @@ vectorized Arrow/pandas UDF extraction. Pure Python — ships whole via
 """
 
 __version__ = "0.1.0"
+
+# Worker-side fast path (see sparkcrawl/workerperf.py): pandas UDFs are
+# pickled by value, so a worker imports sparkcrawl.canon/extract (for the
+# referenced kernels) rather than sparkcrawl.udfs — the package __init__ is
+# the one import guaranteed to run in every worker that runs our UDFs.
+# install() is a no-op outside a pyspark 4.x worker process.
+from sparkcrawl.workerperf import install as _workerperf_install
+
+_workerperf_install()

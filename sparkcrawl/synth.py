@@ -42,8 +42,10 @@ EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 # a same-named cache with ~12% non-2xx rows, making round-over-round
 # throughput uninterpretable).
 # History: v3 = all-200 corpus (rounds 1–2); v4 = status/location/retry
-# semantics added in f79a68f (round 3).
-FORMAT_VERSION = "v4"
+# semantics added in f79a68f (round 3); v5 = identical CONTENT to v4 but
+# pages.parquet written with bounded row groups (round 4 — the single
+# whole-table row group serialized raw-corpus scans into one task).
+FORMAT_VERSION = "v5"
 
 _WORDS = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
@@ -283,7 +285,14 @@ def generate(
             "location": pa.array(locations, pa.string()),
         }
     )
-    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+    # Bounded row groups: pyarrow's default writes ONE row group for the
+    # whole table — measured 22.9 GB on the 800k-page scaling corpus, which
+    # serializes every Spark scan of the raw corpus into a single task (a
+    # split can't cross a row-group boundary; 1×176 s task in prepare_pages'
+    # 873-task scan). ~2000 rows ≈ 50 MB of html keeps splits real at any
+    # corpus size while staying far above the per-group metadata floor.
+    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"),
+                   row_group_size=2000)
 
     # Request.meta analogue: JSON payload on alternating seeds (None on the
     # rest so the null path is exercised too); carried to redirect/retry

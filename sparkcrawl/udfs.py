@@ -15,6 +15,10 @@ from pyspark.sql import types as T
 
 from sparkcrawl.canon import canonicalize_url, resolve_redirect, url_host
 from sparkcrawl.extract import extract_links, extract_page, extract_text
+# The worker-side fast path (sparkcrawl/workerperf.py) installs from the
+# package __init__ — UDFs are pickled by value, so this module may never be
+# imported inside a worker; sparkcrawl.canon/extract (and hence the package
+# __init__) always are.
 
 LINKS_TYPE = T.ArrayType(
     T.StructType(
