@@ -211,6 +211,16 @@ def main() -> None:
                          "level with SPARKCRAWL_PROFILE=1 stage ticks; "
                          "prints per-stage speedups and does NOT touch "
                          "cluster_result.json / BASELINE.md")
+    ap.add_argument("--runs-hi", type=int, default=3,
+                    help="total crawls at the BIG level (first is warmup, "
+                         "best of the rest measured). The big level's wall "
+                         "is short, so host-steal noise — strictly one-"
+                         "sided — dominates its run-to-run spread "
+                         "(measured 427→282 s across 3 runs vs ±2%% at "
+                         "the small level); extra samples tighten min() "
+                         "exactly where the variance is.")
+    ap.add_argument("--runs-lo", type=int, default=3,
+                    help="total crawls at the SMALL level")
     args = ap.parse_args()
     if args.regen_md:
         with open(os.path.join(REPO, "BENCH", "cluster_result.json")) as f:
@@ -248,9 +258,13 @@ def main() -> None:
 
     lo, hi = args.levels
     results = {}
-    n_runs = 2 if args.diagnose else 3
     for n in (hi, lo):
-        print(f"running {n}-worker cluster ({n * cpw} cores) ...", flush=True)
+        if args.diagnose:
+            n_runs = 2
+        else:
+            n_runs = args.runs_hi if n == hi else args.runs_lo
+        print(f"running {n}-worker cluster ({n * cpw} cores, "
+              f"{n_runs} runs) ...", flush=True)
         results[n] = run_level(n, corpus, args.round_size, args.rounds,
                                pyfiles, cpw, mem_gb, n_runs=n_runs,
                                profile=args.diagnose)

@@ -208,8 +208,13 @@ class CrawlConfig:
     # of orderBy+limit, whose GlobalLimit funnels the whole K-row result
     # through ONE partition. Below the threshold the sort path is cheaper
     # (one job fewer); the scheduled SET is identical on both paths
-    # (property-tested + oracle-tested).
-    topk_histogram_min: int = 1 << 20
+    # (property-tested + oracle-tested). 64k (round 4, was 1M): the funnel
+    # is a SERIAL cost — the peak round of the 4→16 scaling experiment
+    # (round_size 500k, cap binding) paid it identically at both cluster
+    # sizes, and serial seconds are exactly what the N→4N efficiency bar
+    # punishes. At 64k rows (~6 MB slim) the funnel and the histogram job
+    # break even on wall; above it the histogram wins at every cluster size.
+    topk_histogram_min: int = 1 << 16
     # Below this many queued candidates the budget window skips its salted
     # pre-phase (P5): one exchange instead of two. Skew only threatens when a
     # single host's queue outgrows a task, which cannot happen under this

@@ -49,10 +49,40 @@ def run_crawl(
     """Run (or resume) a crawl; returns the per-round summary list."""
     store = SnapStore(store_dir)
 
+    # AQE off for the crawl loop only (restored on exit): every AQE query
+    # stage is a separate driver job, and a crawl round's multi-leg plans
+    # fragment into dozens of ~0.1-0.2 s micro-jobs whose scheduling
+    # latency is pure FIXED cost per round — the exact term the N→4N
+    # efficiency bar punishes (measured: −0.3-0.5 s/round on the tiny-
+    # corpus probe, uniform at both cluster sizes). Everything AQE would
+    # decide at runtime is already decided statically here: shuffle
+    # partitions ≈ cores, hot-host skew handled by explicit salting (P5),
+    # small sides broadcast explicitly with driver-known sizes. Analytics
+    # queries keep AQE (session default stays on).
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _run_crawl_inner(
+            spark, corpus_dir, store, cfg, resume, verbose
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _run_crawl_inner(
+    spark: SparkSession,
+    corpus_dir: str,
+    store: "SnapStore",
+    cfg: CrawlConfig,
+    resume: bool,
+    verbose: bool,
+) -> list[dict]:
+
     if not resume and store.committed_rounds():
         raise ValueError(
-            f"store {store_dir!r} already has committed rounds; pass resume=True "
-            "or use a fresh store (seen is append-only — re-init would corrupt it)"
+            f"store {store.root!r} already has committed rounds; pass "
+            "resume=True or use a fresh store (seen is append-only — "
+            "re-init would corrupt it)"
         )
     if not resume or not store.committed_rounds():
         prepare_pages(spark, store, os.path.join(corpus_dir, "pages.parquet"), cfg)
