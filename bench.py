@@ -34,6 +34,8 @@ HEADLINE = [
     "media_ann", "contamination", "tfidf_top_terms", "stream_window_counts",
     # round 4b: iterative propagation + sub-document dedup
     "pagerank", "paragraph_dedup",
+    # round 4d: two-pass unigram-LM quality scoring (CCNet-style)
+    "lm_perplexity",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))

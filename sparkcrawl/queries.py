@@ -934,6 +934,40 @@ def _q_pack_sequences(engine: str) -> str:
     """
 
 
+def _q_lm_perplexity(engine: str) -> str:
+    # CCNet-style quality signal [ccnet: cc_net/perplexity.py — public
+    # method, reimplemented from the paper]: per-document perplexity under
+    # a unigram LM trained on the corpus itself. Two passes over the text,
+    # exactly like the real pipeline (pass 1 trains the LM = token counts;
+    # pass 2 scores each document): mean negative log-likelihood
+    # AVG(-ln(c/N)) and ppl = exp(nll). Low-ppl docs are templated/
+    # repetitive, high-ppl docs are noise — the standard keep-the-middle
+    # filter. Both engines evaluate ln/exp within 1-2 ulp and the agg sum
+    # is ~1e-13 relative, so ROUND(…, 6) is bit-stable (verified exact at
+    # sf0.001/0.01). At 100 TB the vocab table (cnt) is the only shuffled
+    # aggregate; the score join is a hash join on token that AQE broadcasts
+    # while the head vocab fits — the plain SQL below would re-explode the
+    # text three times under Spark CTE inlining, so the Spark side runs the
+    # DataFrame twin (_lm_perplexity_spark) with the vocab persisted once.
+    if engine == "spark":
+        ex = "SELECT doc_id, explode(split(text, ' ')) AS token FROM documents"
+    else:
+        ex = ("SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+              "FROM documents")
+    return f"""
+      WITH tok AS ({ex}),
+      cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY token),
+      tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt)
+      SELECT doc_id, n_tokens, ROUND(nll, 6) AS nll, ROUND(EXP(nll), 6) AS ppl
+      FROM (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               AVG(-LN(CAST(cnt.c AS DOUBLE) / tot.n)) AS nll
+        FROM tok t JOIN cnt ON t.token = cnt.token CROSS JOIN tot
+        GROUP BY t.doc_id) s
+    """
+
+
 def _q_pagerank(engine: str) -> str:
     # Link-analysis centrality (PageRank, 5 unrolled iterations) over a
     # deterministic link graph on documents: doc d links to (d² + 1) % N,
@@ -1483,6 +1517,7 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "contamination": _q_contamination,
     "tfidf_top_terms": _q_tfidf_top_terms,
     "pack_sequences": _q_pack_sequences,
+    "lm_perplexity": _q_lm_perplexity,
     "pagerank": _q_pagerank,
     "paragraph_dedup": _q_paragraph_dedup,
     "minhash_signatures": _q_minhash_signatures,
@@ -2204,6 +2239,10 @@ _DEFERRED_PAST_DRIVER_WINDOW = [
     # round 4c: q5 (join-agg, same family as the kept q3) overflows to make
     # room for paragraph_dedup
     "tpch_q5",
+    # round 4d: q21 overflows to make room for lm_perplexity; its
+    # NOT-EXISTS/anti-join family stays in-window via seen_antijoin (now
+    # non-vacuous) and the crawl pipeline's own O3 anti-joins
+    "tpch_q21",
 ]
 
 def _paragraph_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2230,6 +2269,39 @@ def _paragraph_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("long").alias("dup_tokens"))
         .filter(F.col("n_shared_chunks") > 0)
         .select("doc_id", "n_chunks", "n_shared_chunks", "dup_tokens")
+    )
+
+
+def _lm_perplexity_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame twin of the shared SQL: the tok CTE feeds cnt, and cnt feeds
+    # both tot and the score join, so Spark's CTE inlining would explode the
+    # text column THREE times. The real CCNet shape is two passes — pass 1
+    # trains the unigram LM (one groupBy shuffle, vocab-sized result,
+    # persisted), pass 2 re-streams the tokens through a hash join against
+    # the persisted vocab (AQE broadcasts it while the head fits) into the
+    # per-doc aggregate. The total-token scalar is read off the persisted
+    # vocab driver-side (one pre-aggregated row, same pattern as the crawl's
+    # counter collects). Identical double ops as the oracle: -ln(c/N)
+    # averaged, then round(…, 6) / round(exp(…), 6).
+    from pyspark.sql import functions as F
+
+    release_cached()
+    register_views(spark, sf_dir)
+    tok = spark.table("documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token"))
+    cnt = _persist_tracked(
+        tok.groupBy("token").agg(F.count("*").alias("c")))
+    n = float(cnt.agg(F.sum("c")).collect()[0][0])
+    nll = F.avg(-F.log(F.col("c").cast("double") / F.lit(n)))
+    return (
+        tok.join(cnt, "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), nll.alias("nll_raw"))
+        .select(
+            "doc_id", "n_tokens",
+            F.round("nll_raw", 6).alias("nll"),
+            F.round(F.exp("nll_raw"), 6).alias("ppl"),
+        )
     )
 
 
@@ -2291,6 +2363,8 @@ _DF_TWINS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 4: single text pass / single edge build instead of CTE re-inline
     "paragraph_dedup": _paragraph_dedup_spark,
     "pagerank": _pagerank_spark,
+    # round 4: two-pass unigram-LM scoring, vocab persisted once
+    "lm_perplexity": _lm_perplexity_spark,
 }
 
 

@@ -68,7 +68,7 @@ def test_driver_window_holds_every_entry_needing_a_green_row():
         # round 4 additions — no driver history yet
         "media_ann", "stream_window_counts", "boilerplate_ngrams",
         "contamination", "tfidf_top_terms", "pack_sequences", "pagerank",
-        "paragraph_dedup",
+        "paragraph_dedup", "lm_perplexity",
     }
     assert must_be_checked <= window, sorted(must_be_checked - window)
     overflow = set(order[50:])
