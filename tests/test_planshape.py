@@ -226,3 +226,19 @@ def test_pagerank_builds_edges_once_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
     assert "text" not in plan, plan  # column pruning: rank never reads text
+
+
+def test_lm_perplexity_vocab_cached_scalar_not_nested_loop(spark):
+    """The lm_perplexity twin is the two-pass CCNet shape: the vocab
+    aggregate is persisted (InMemoryTableScan) and the total-token count is
+    a driver-side literal — the plain-SQL CTE plan re-exploded the text
+    three times and attached the scalar via a nested-loop join. The scoring
+    pass reads only doc_id+text (the vocab build only text)."""
+    from sparkcrawl.queries import queries
+
+    df = queries()["lm_perplexity"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
