@@ -119,7 +119,11 @@ def apply_pipelines(df: DataFrame, stages: Sequence[Stage]) -> PipelineResult:
                 df = df.withColumn(col, F.expr(expr))
             continue  # transforms never drop; no counter boundary
         if isinstance(st, DropIf):
-            df = df.filter(~F.expr(st.predicate))
+            # drop only rows where the predicate is TRUE: a NULL predicate
+            # (e.g. "price < 0" with price NULL) does NOT match, so the item
+            # must survive — bare ~expr turns NULL into NULL and filter()
+            # would silently discard it
+            df = df.filter(~F.coalesce(F.expr(st.predicate), F.lit(False)))
         elif isinstance(st, Dedupe):
             others = [c for c in df.columns if c not in st.keys]
             packed = df.groupBy(*st.keys).agg(

@@ -774,6 +774,10 @@ def _q_boilerplate_ngrams(engine: str) -> str:
             "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])"
         )
         ex = f"SELECT doc_id, unnest(list_distinct({bg})) AS shingle FROM documents"
+    # ≥2-token guard (≥1 space): Spark's sequence(1, 0) DESCENDS instead of
+    # being empty, so a 1-token doc would hit element_at(…, 0) and crash the
+    # whole query (the minhash/paragraph-chunk footgun)
+    ex += " WHERE length(text) - length(replace(text, ' ', '')) >= 1"
     return f"""
       SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM ({ex}) t
@@ -851,6 +855,10 @@ def _q_contamination(engine: str) -> str:
         ex = f"SELECT doc_id, explode(array_distinct({sh})) AS s FROM documents"
     else:
         ex = f"SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents"
+    # ≥3-token guard (≥2 spaces): without it a short doc makes Spark's
+    # sequence(1, n) descend into element_at(…, 0) and crash (the minhash
+    # footgun); a shingle-less doc contributes no rows on either engine
+    ex += " WHERE length(text) - length(replace(text, ' ', '')) >= 2"
     return f"""
       WITH sh AS ({ex}),
       bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0)
@@ -2097,14 +2105,15 @@ def _canonicalize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", canonicalize_udf(raw).alias("canon_url"))
 
 
-def _stream_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 streaming correctness, driver-gated (VERDICT r2 #7): an
-    AvailableNow Structured Streaming dedup over the events table must equal
-    batch DISTINCT (the DuckDB oracle). The shape is the streaming seen-set:
-    event-time watermark + dropDuplicatesWithinWatermark (bounded state —
-    sparkcrawl/streaming.py uses the same operator over pages). Emitting
-    only the key column makes the result set deterministic regardless of
-    intra-batch arrival order."""
+def _drain_available_now(spark: SparkSession, sf_dir: str, prefix: str,
+                         transform, output_mode: str) -> DataFrame:
+    """Shared harness for the §2.10 streaming gates: stage the single-file
+    events table behind a symlink drop dir (FileStreamSource requires a
+    DIRECTORY — in production the events land as files under one), apply
+    ``transform`` to the watermark-ready stream, drain it AvailableNow into
+    a memory sink, and return the drained table. One definition so a fix to
+    the staging/checkpoint handling can't reach one twin and miss the
+    other."""
     import os
     import tempfile
     import uuid
@@ -2113,25 +2122,20 @@ def _stream_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(src).schema
-    name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    # FileStreamSource requires a DIRECTORY (in production the events land
-    # as files under a drop dir); the testdata table is a single parquet
-    # file, so stage a symlink dir around it
+    name = prefix + uuid.uuid4().hex[:8]
     stream_dir = tempfile.mkdtemp(prefix="sparkcrawl_streamsrc_")
     os.symlink(os.path.abspath(src), os.path.join(stream_dir, "events.parquet"))
-    stream = (
+    stream = transform(
         spark.readStream.schema(schema)
         .format("parquet")
         .load(stream_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["user_id"])
-        .select("user_id")
     )
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .option(
             "checkpointLocation", tempfile.mkdtemp(prefix="sparkcrawl_ckpt_")
         )
@@ -2140,6 +2144,22 @@ def _stream_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _stream_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 streaming correctness, driver-gated (VERDICT r2 #7): an
+    AvailableNow Structured Streaming dedup over the events table must equal
+    batch DISTINCT (the DuckDB oracle). The shape is the streaming seen-set:
+    event-time watermark + dropDuplicatesWithinWatermark (bounded state —
+    sparkcrawl/streaming.py uses the same operator over pages). Emitting
+    only the key column makes the result set deterministic regardless of
+    intra-batch arrival order."""
+    return _drain_available_now(
+        spark, sf_dir, "stream_dedup_",
+        lambda s: s.dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id"),
+        output_mode="append",
+    )
 
 
 _STREAM_DEDUP_ORACLE = """
@@ -2157,47 +2177,28 @@ def _stream_window_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     at end-of-data emit, so the drained result is the full history. Values
     are summed as exact integer cents so arrival order can't perturb
     float accumulation across engines."""
-    import os
-    import tempfile
-    import uuid
-
     from pyspark.sql import functions as F
 
-    src = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(src).schema
-    name = "stream_wincounts_" + uuid.uuid4().hex[:8]
-    stream_dir = tempfile.mkdtemp(prefix="sparkcrawl_streamsrc_")
-    os.symlink(os.path.abspath(src), os.path.join(stream_dir, "events.parquet"))
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .load(stream_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    def agg(s: DataFrame) -> DataFrame:
+        return (
+            s.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("bigint")
+                ).alias("cents"),
+            )
+            .select(
+                F.col("win.start").alias("hour"),
+                "event_type",
+                F.col("n").cast("bigint").alias("n"),
+                (F.col("cents").cast("double") / F.lit(100.0)).alias(
+                    "sum_value"),
+            )
         )
-        .select(
-            F.col("win.start").alias("hour"),
-            "event_type",
-            F.col("n").cast("bigint").alias("n"),
-            (F.col("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
-        )
-    )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="sparkcrawl_ckpt_")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+
+    return _drain_available_now(
+        spark, sf_dir, "stream_wincounts_", agg, output_mode="complete")
 
 
 _STREAM_WINDOW_COUNTS_ORACLE = """

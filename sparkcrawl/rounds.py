@@ -161,15 +161,19 @@ def prepare_pages(
     # per-round scan proportional to the redirect population instead.
     redirects = (
         store.read(spark, "pages_idx", snap)
-        .filter(
-            (F.col("status") >= 300)
-            & (F.col("status") < 400)
-            & F.col("location").isNotNull()
-        )
+        .filter(_followable_3xx())
         .select("bucket", "url_hash", "canon", "page_url", "status", "location")
     )
     store.overwrite("redirects_idx", redirects, partition_by=["bucket"])
     return snap
+
+
+def _followable_3xx():
+    """The one definition of 'followable redirect row' (3xx with a
+    Location): shared by prepare_pages' index build, the legacy-store
+    fallback, and the corpus-caps probe so they can never diverge."""
+    return ((F.col("status") >= 300) & (F.col("status") < 400)
+            & F.col("location").isNotNull())
 
 
 def redirect_index(spark: SparkSession, store: SnapStore,
@@ -182,11 +186,7 @@ def redirect_index(spark: SparkSession, store: SnapStore,
         return store.read(spark, "redirects_idx")
     return pages_idx.select(
         "bucket", "url_hash", "canon", "page_url", "status", "location",
-    ).filter(
-        (F.col("status") >= 300)
-        & (F.col("status") < 400)
-        & F.col("location").isNotNull()
-    )
+    ).filter(_followable_3xx())
 
 
 def init_crawl(spark: SparkSession, store: SnapStore, seeds_path: str,
@@ -239,19 +239,11 @@ def corpus_caps(spark: SparkSession, store: SnapStore,
     caps = {"has_redirects": False, "has_retryable": False,
             "has_sitemaps": False}
     if cfg.redirect_enabled and cfg.redirect_max_times > 0:
-        if store.exists("redirects_idx"):
-            # the slim one-time index holds exactly the followable-3xx rows
-            caps["has_redirects"] = bool(
-                store.read(spark, "redirects_idx").limit(1).count()
-            )
-        else:  # legacy store prepared before redirects_idx existed
-            caps["has_redirects"] = bool(
-                idx.filter(
-                    (F.col("status") >= 300)
-                    & (F.col("status") < 400)
-                    & F.col("location").isNotNull()
-                ).limit(1).count()
-            )
+        # probe the same source the round leg will read (the slim one-time
+        # index when present, else the pruned legacy scan)
+        caps["has_redirects"] = bool(
+            redirect_index(spark, store, idx).limit(1).count()
+        )
     if cfg.retry_enabled and cfg.retry_times > 0:
         caps["has_retryable"] = bool(
             idx.filter(

@@ -52,7 +52,11 @@ def _lookup(corpus_dir: str, canon: str):
     if best is None:
         return None
     url, _, rg, i = best
-    row = pf.read_row_group(rg).slice(i, 1).to_pylist()[0]
+    # read only the payload columns of the winning row group — a full
+    # read_row_group would decode every row's html blob to return one page
+    need = [c for c in ("html", "status", "location", "latency_ms")
+            if c in names]
+    row = pf.read_row_group(rg, columns=need).slice(i, 1).to_pylist()[0]
     return {
         "url": url,
         "html": row["html"],

@@ -179,7 +179,10 @@ def build_response_record(url: str, ts: _dt.datetime, html: bytes,
                  f"Content-Length: {len(html)}"]
     if location is not None:
         http_head.append(f"Location: {location}")
-    block = ("\r\n".join(http_head) + "\r\n\r\n").encode("ascii") + (html or b"")
+    # utf-8, not ascii: ingest decodes Location with errors="replace", so a
+    # re-exported corpus can legally carry non-ASCII header values — one
+    # such record must never kill the export job (module policy)
+    block = ("\r\n".join(http_head) + "\r\n\r\n").encode("utf-8") + (html or b"")
     warc_head = "\r\n".join([
         "WARC/1.0",
         "WARC-Type: response",
@@ -252,12 +255,23 @@ def export_warc(df: DataFrame, out_dir: str, compress: bool = True) -> list:
         try:
             for pdf in it:
                 for _, r in pdf.iterrows():
+                    # nulls are legal here: warc_to_pages emits ts NULL for
+                    # a missing/unparseable WARC-Date (and pandas turns a
+                    # null int column into NaN) — pin deterministic
+                    # sentinels instead of letting NaT.strftime / int(nan)
+                    # kill the export task
                     ts = r["warc_ts"]
-                    ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                    if pd.isna(ts):
+                        ts = _dt.datetime(1970, 1, 1)
+                    elif hasattr(ts, "to_pydatetime"):
+                        ts = ts.to_pydatetime()
+                    status = r["status"]
+                    status = 200 if pd.isna(status) else int(status)
+                    loc = r["location"]
+                    loc = None if pd.isna(loc) else loc
                     sink.write(build_response_record(
                         r["url"], ts, bytes(r["html"]) if r["html"] is not None
-                        else b"", int(r["status"]) if r["status"] is not None
-                        else 200, r["location"]))
+                        else b"", status, loc))
                     n += 1
         finally:
             sink.close()

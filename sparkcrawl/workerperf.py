@@ -44,10 +44,17 @@ import sys
 
 _installed = False
 
+# (mtime, size) per include path: detects a shipped file REPLACED under the
+# same name (executor re-download after a mid-job addPyFile), which changes
+# no sys.path entry but does stale the cached zipimporter directories —
+# stock Spark invalidates every task precisely to cover this case
+_seen_includes: dict[str, tuple[float, int] | None] = {}
+
 
 def _patched_setup_spark_files(infile):
     """Wire-compatible ``setup_spark_files`` that only invalidates import
-    caches when sys.path actually changed (pyspark 4.x protocol)."""
+    caches when sys.path actually changed or a shipped include file was
+    updated in place (pyspark 4.x protocol)."""
     import importlib
     import os
 
@@ -65,10 +72,20 @@ def _patched_setup_spark_files(infile):
     before = len(sys.path)
     add_path(spark_files_dir)
     num_python_includes = read_int(infile)
+    changed = False
     for _ in range(num_python_includes):
         filename = utf8_deserializer.loads(infile)
-        add_path(os.path.join(spark_files_dir, filename))
-    if len(sys.path) != before:
+        full = os.path.join(spark_files_dir, filename)
+        add_path(full)
+        try:
+            st = os.stat(full)
+            sig = (st.st_mtime, st.st_size)
+        except OSError:  # pragma: no cover - include may be a dir/missing
+            sig = None
+        if _seen_includes.get(full, ()) != sig:
+            _seen_includes[full] = sig
+            changed = True
+    if changed or len(sys.path) != before:
         importlib.invalidate_caches()
 
 

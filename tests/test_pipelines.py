@@ -106,3 +106,14 @@ def test_export_fuses_pipeline_chain(spark, tmp_path):
         stages=[validate_fields(["text"]), Dedupe(["canon"])])
     back = spark.read.json(str(tmp_path / "feed"))
     assert n == back.count() == 3
+
+
+def test_dropif_null_predicate_keeps_item(items):
+    """DropIf drops rows MATCHING the predicate; a NULL predicate value
+    (price < 0 with price NULL) does not match, so the item survives —
+    Scrapy's DropItem only fires when the condition actually holds."""
+    res = apply_pipelines(items, [DropIf("price < 0", name="neg_price")])
+    out = res.df.collect()
+    assert len(out) == len(ROWS)  # nothing matches, incl. the NULL-price row
+    assert {r["url"] for r in out} == {r[1] for r in ROWS}
+    assert res.stats()["neg_price_dropped"] == 0

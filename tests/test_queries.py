@@ -89,3 +89,34 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(scols) == sorted(dcols), (scols, dcols)
     assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)} rows"
     assert _rowset(scols, srows) == _rowset(dcols, drows), name
+
+
+@pytest.mark.parametrize("name", ["boilerplate_ngrams", "contamination",
+                                  "minhash_signatures", "paragraph_dedup",
+                                  "lm_perplexity", "tfidf_top_terms"])
+def test_text_queries_survive_short_documents(spark, duck, name):
+    """Spark's sequence(1, n) DESCENDS when n < 1, so an unguarded shingle/
+    chunk explode crashes on 1-2-token documents (element_at(…, 0)). Every
+    text-exploding battery query must run — and still match its oracle — on
+    a corpus of degenerate documents."""
+    rows = [(1, "x", "en"), (2, "a b", "en"), (3, "", "en"),
+            (4, "one two three four five six seven eight nine ten eleven",
+             "en")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sdf.createOrReplaceTempView("documents")
+    try:
+        from sparkcrawl.queries import _SHARED_QUERIES
+        sql_spark = _SHARED_QUERIES[name]("spark")
+        srows = spark.sql(sql_spark).collect()
+        scols = spark.sql(sql_spark).columns
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR,"
+                    " lang VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+        res = con.execute(_SHARED_QUERIES[name]("duck"))
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        assert _rowset(scols, [tuple(r) for r in srows]) == \
+            _rowset(dcols, drows), name
+    finally:
+        spark.catalog.dropTempView("documents")

@@ -127,3 +127,34 @@ def test_ingest_plain_and_gzip_mixed(spark, tmp_path):
     back = warc_to_pages(spark, str(d))
     assert sorted(r.url for r in back.select("url").collect()) == [
         "http://hx.example/a", "http://hx.example/b"]
+
+
+def test_kernel_non_ascii_location_roundtrips():
+    """Ingest decodes headers with errors="replace", so a re-exported corpus
+    can carry non-ASCII Location values — build_response_record must encode
+    them (utf-8), not crash on .encode("ascii")."""
+    loc = "http://h0.example/café�"
+    rec = build_response_record("http://h0.example/old", TS, b"",
+                                status=302, location=loc)
+    pages = list(warc_pages(rec))
+    assert len(pages) == 1
+    assert pages[0]["location"] == loc
+
+
+def test_spark_export_tolerates_null_ts_and_status(spark, tmp_path):
+    """warc_to_pages legitimately emits warc_ts NULL (missing/unparseable
+    WARC-Date); export must pin sentinels instead of dying on NaT.strftime
+    or int(nan)."""
+    rows = [("http://h0.example/a", None, HTML, None, None),
+            ("http://h0.example/b", TS, HTML, 200, None)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, status int,"
+        " location string")
+    out = str(tmp_path / "warc_nulls")
+    manifest = export_warc(df.repartition(1), out, compress=False)
+    assert sum(m.n_records for m in manifest) == 2
+    back = {p["url"]: p for p in
+            warc_pages(open(manifest[0].shard, "rb").read())}
+    assert back["http://h0.example/a"]["status"] == 200
+    assert back["http://h0.example/a"]["warc_ts"] == \
+        datetime.datetime(1970, 1, 1)

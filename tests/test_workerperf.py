@@ -102,3 +102,37 @@ def test_patched_matches_stock_semantics(monkeypatch, tmp_path):
 
     assert stock_path == patched_path
     assert stock_left == patched_left == b""
+
+
+def test_patched_invalidates_when_include_replaced_in_place(
+        monkeypatch, tmp_path):
+    """A mid-job addPyFile that replaces a same-named archive changes no
+    sys.path entry, but the cached zipimporter directory is stale — the
+    patched reader must invalidate on the (mtime, size) change exactly as
+    stock Spark's per-task invalidation would."""
+    import importlib
+    import os
+
+    calls = {"n": 0}
+    monkeypatch.setattr(importlib, "invalidate_caches",
+                        lambda: calls.__setitem__("n", calls["n"] + 1))
+    workdir = tmp_path / "files"
+    workdir.mkdir()
+    inc = workdir / "job.zip"
+    inc.write_bytes(b"v1-bytes")
+    wire = _wire(str(workdir), ["job.zip"])
+
+    saved_path = list(sys.path)
+    try:
+        workerperf._patched_setup_spark_files(io.BytesIO(wire))
+        assert calls["n"] == 1
+        # steady state: same file, no invalidation
+        workerperf._patched_setup_spark_files(io.BytesIO(wire))
+        assert calls["n"] == 1
+        # replaced under the same name (different size + mtime)
+        inc.write_bytes(b"v2-bytes-longer")
+        os.utime(inc, (1e9, 1e9))
+        workerperf._patched_setup_spark_files(io.BytesIO(wire))
+        assert calls["n"] == 2
+    finally:
+        sys.path[:] = saved_path
