@@ -36,6 +36,8 @@ HEADLINE = [
     "pagerank", "paragraph_dedup",
     # round 4d: two-pass unigram-LM quality scoring (CCNet-style)
     "lm_perplexity",
+    # round 4e: DSIR importance weights + domain-reputation filtering
+    "dsir_weights", "host_quality",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))

@@ -976,6 +976,90 @@ def _q_lm_perplexity(engine: str) -> str:
     """
 
 
+def _q_dsir_weights(engine: str) -> str:
+    # DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    # Language Models via Importance Resampling" — public method,
+    # reimplemented from the paper): per-document importance weight
+    # log(p_target(x) / p_background(x)) under add-one-smoothed unigram LMs,
+    # target = the English slice, background = the whole corpus. Same
+    # two-pass shape as lm_perplexity — pass 1 trains BOTH LMs in ONE
+    # aggregation (c_all and the lang-gated c_tgt from the same groupBy),
+    # pass 2 re-streams tokens through a hash join against the vocab.
+    # Determinism: each token's log-ratio is quantized to integer micro-nats
+    # (ROUND(lr * 1e6) as BIGINT) BEFORE the per-doc sum — BIGINT sums are
+    # order-independent, so Spark ≡ DuckDB bit-exactly regardless of
+    # partitioning (the pagerank fixed-point pattern; a double SUM would be
+    # shuffle-order-dependent). At 100 TB the vocab aggregate is the only
+    # shuffled sketch and the smoothing totals are one pre-aggregated row.
+    if engine == "spark":
+        ex = ("SELECT doc_id, lang, explode(split(text, ' ')) AS token "
+              "FROM documents")
+    else:
+        ex = ("SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token "
+              "FROM documents")
+    lr = ("LN((CAST(c.c_tgt AS DOUBLE) + 1.0) / (tot.n_tgt + tot.v)) "
+          "- LN((CAST(c.c_all AS DOUBLE) + 1.0) / (tot.n_all + tot.v))")
+    return f"""
+      WITH tok AS ({ex}),
+      cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_all,
+                     CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c_tgt
+              FROM tok GROUP BY token),
+      tot AS (SELECT CAST(SUM(c_all) AS DOUBLE) AS n_all,
+                     CAST(SUM(c_tgt) AS DOUBLE) AS n_tgt,
+                     CAST(COUNT(*) AS DOUBLE) AS v
+              FROM cnt)
+      SELECT doc_id, n_tokens, lr_micro,
+             CAST(lr_micro AS DOUBLE) / 1000000.0 AS weight
+      FROM (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(ROUND(({lr}) * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS lr_micro
+        FROM tok t JOIN cnt c ON t.token = c.token CROSS JOIN tot
+        GROUP BY t.doc_id) s
+    """
+
+
+def _q_host_quality(engine: str) -> str:
+    # Source/domain-level reputation filtering (the FineWeb/C4 pattern:
+    # aggregate per-domain quality statistics, then keep or drop every
+    # document by its domain's reputation rather than per-doc signals
+    # alone). Two-level plan: one slim projection pass over the text
+    # (token count only), a tiny per-source aggregate (#domains rows — KBs
+    # even at 100 TB), and a join-back that Spark broadcasts. kept compares
+    # the source's avg tokens/doc against the corpus-wide avg, so the flag
+    # is data-driven and non-vacuous by construction (some sources above,
+    # some below). All stats are single divisions of BIGINT sums —
+    # deterministic IEEE ops, no accumulation-order sensitivity.
+    ntok = (
+        "size(split(text, ' '))" if engine == "spark"
+        else "len(string_split(text, ' '))"
+    )
+    return f"""
+      WITH doc AS (
+        SELECT doc_id, source, CAST({ntok} AS BIGINT) AS n_tok
+        FROM documents),
+      src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS src_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS src_tok,
+               CAST(SUM(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS src_short
+        FROM doc GROUP BY source),
+      tot AS (
+        SELECT CAST(SUM(src_tok) AS DOUBLE) / CAST(SUM(src_docs) AS DOUBLE)
+          AS corpus_avg FROM src)
+      SELECT d.doc_id, d.source,
+             s.src_docs,
+             ROUND(CAST(s.src_tok AS DOUBLE) / CAST(s.src_docs AS DOUBLE), 6)
+               AS src_avg_tokens,
+             ROUND(CAST(s.src_short AS DOUBLE) / CAST(s.src_docs AS DOUBLE), 6)
+               AS src_short_frac,
+             CAST(s.src_tok AS DOUBLE) / CAST(s.src_docs AS DOUBLE)
+               >= tot.corpus_avg AS kept
+      FROM doc d JOIN src s ON d.source = s.source CROSS JOIN tot
+    """
+
+
 def _q_pagerank(engine: str) -> str:
     # Link-analysis centrality (PageRank, 5 unrolled iterations) over a
     # deterministic link graph on documents: doc d links to (d² + 1) % N,
@@ -1526,6 +1610,8 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "tfidf_top_terms": _q_tfidf_top_terms,
     "pack_sequences": _q_pack_sequences,
     "lm_perplexity": _q_lm_perplexity,
+    "dsir_weights": _q_dsir_weights,
+    "host_quality": _q_host_quality,
     "pagerank": _q_pagerank,
     "paragraph_dedup": _q_paragraph_dedup,
     "minhash_signatures": _q_minhash_signatures,
@@ -2244,6 +2330,11 @@ _DEFERRED_PAST_DRIVER_WINDOW = [
     # NOT-EXISTS/anti-join family stays in-window via seen_antijoin (now
     # non-vacuous) and the crawl pipeline's own O3 anti-joins
     "tpch_q21",
+    # round 4e: q1/q3 overflow to make room for dsir_weights/host_quality;
+    # q6 (pushdown scan-agg) stays in-window, and q1's scan-agg /
+    # q3's join-agg families remain represented by status_counts,
+    # window_hourly, broadcast_join and host_quality itself
+    "tpch_q1", "tpch_q3",
 ]
 
 def _paragraph_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2303,6 +2394,84 @@ def _lm_perplexity_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("nll_raw", 6).alias("nll"),
             F.round(F.exp("nll_raw"), 6).alias("ppl"),
         )
+    )
+
+
+def _dsir_weights_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame twin of the shared SQL: the tok CTE feeds cnt AND the score
+    # join, and cnt feeds tot, so Spark's CTE inlining would explode the
+    # text column three times. Same two-pass shape as _lm_perplexity_spark:
+    # pass 1 trains both unigram LMs in one groupBy (vocab-sized result,
+    # persisted), smoothing totals read off the persisted vocab driver-side
+    # (one pre-aggregated row), pass 2 re-streams the tokens through a hash
+    # join against the vocab (AQE broadcasts it while the head fits).
+    # Per-token micro-nat quantization BEFORE the BIGINT sum keeps the
+    # result bit-exact vs the DuckDB oracle under any partitioning.
+    from pyspark.sql import functions as F
+
+    release_cached()
+    register_views(spark, sf_dir)
+    tok = spark.table("documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    cnt = _persist_tracked(
+        tok.groupBy("token").agg(
+            F.count("*").alias("c_all"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+             .alias("c_tgt")))
+    n_all, n_tgt, v = cnt.agg(
+        F.sum("c_all").cast("double"),
+        F.sum("c_tgt").cast("double"),
+        F.count("*").cast("double")).collect()[0]
+    lr = (
+        F.log((F.col("c_tgt").cast("double") + 1.0) / F.lit(n_tgt + v))
+        - F.log((F.col("c_all").cast("double") + 1.0) / F.lit(n_all + v)))
+    micro = F.round(lr * 1000000.0).cast("long")
+    return (
+        tok.join(cnt, "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum(micro).cast("long").alias("lr_micro"))
+        .select("doc_id", "n_tokens", "lr_micro",
+                (F.col("lr_micro").cast("double") / 1000000.0)
+                .alias("weight"))
+    )
+
+
+def _host_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame twin of the shared SQL: the doc CTE feeds both the src
+    # aggregate and the join-back side, so the inlined SQL plan would run
+    # the text→token-count pass twice. Project the slim (doc_id, source,
+    # n_tok) columns ONCE, persist them, aggregate the tiny per-source
+    # reputation table, read the corpus average off it driver-side, and
+    # broadcast the reputation table back onto the persisted projection —
+    # at 100 TB the text pass happens exactly once and the join adds no
+    # shuffle.
+    from pyspark.sql import functions as F
+
+    release_cached()
+    register_views(spark, sf_dir)
+    doc = _persist_tracked(spark.table("documents").select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok")))
+    src = doc.groupBy("source").agg(
+        F.count("*").alias("src_docs"),
+        F.sum("n_tok").alias("src_tok"),
+        F.sum(F.when(F.col("n_tok") < 10, 1).otherwise(0))
+         .alias("src_short"))
+    tot_tok, tot_docs = src.agg(
+        F.sum("src_tok").cast("double"),
+        F.sum("src_docs").cast("double")).collect()[0]
+    corpus_avg = tot_tok / tot_docs
+    avg = F.col("src_tok").cast("double") / F.col("src_docs").cast("double")
+    return (
+        doc.join(F.broadcast(src), "source")
+        .select(
+            "doc_id", "source", "src_docs",
+            F.round(avg, 6).alias("src_avg_tokens"),
+            F.round(F.col("src_short").cast("double")
+                    / F.col("src_docs").cast("double"), 6)
+             .alias("src_short_frac"),
+            (avg >= F.lit(corpus_avg)).alias("kept"))
     )
 
 
@@ -2366,6 +2535,10 @@ _DF_TWINS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": _pagerank_spark,
     # round 4: two-pass unigram-LM scoring, vocab persisted once
     "lm_perplexity": _lm_perplexity_spark,
+    # round 4: DSIR importance weights (two-pass, micro-nat fixed point)
+    # and source-reputation filtering (one text pass + broadcast join-back)
+    "dsir_weights": _dsir_weights_spark,
+    "host_quality": _host_quality_spark,
 }
 
 

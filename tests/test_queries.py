@@ -68,7 +68,7 @@ def test_driver_window_holds_every_entry_needing_a_green_row():
         # round 4 additions — no driver history yet
         "media_ann", "stream_window_counts", "boilerplate_ngrams",
         "contamination", "tfidf_top_terms", "pack_sequences", "pagerank",
-        "paragraph_dedup", "lm_perplexity",
+        "paragraph_dedup", "lm_perplexity", "dsir_weights", "host_quality",
     }
     assert must_be_checked <= window, sorted(must_be_checked - window)
     overflow = set(order[50:])
@@ -93,7 +93,8 @@ def test_query_matches_oracle(spark, duck, name):
 
 @pytest.mark.parametrize("name", ["boilerplate_ngrams", "contamination",
                                   "minhash_signatures", "paragraph_dedup",
-                                  "lm_perplexity", "tfidf_top_terms"])
+                                  "lm_perplexity", "tfidf_top_terms",
+                                  "dsir_weights"])
 def test_text_queries_survive_short_documents(spark, duck, name):
     """Spark's sequence(1, n) DESCENDS when n < 1, so an unguarded shingle/
     chunk explode crashes on 1-2-token documents (element_at(…, 0)). Every
