@@ -162,6 +162,15 @@ class CrawlConfig:
     dedup_bloom: bool = True
     bloom_bits_per_bucket: int = 1 << 17   # 16 KiB/bucket at n_buckets=32
     bloom_k: int = 7
+    # Sidecar filter family (the north star names "bloom/cuckoo-filter URL-
+    # seen set"): "bloom" (default — smaller per key, OR-mergeable) or
+    # "cuckoo" (sparkcrawl/cuckoo.py — same memory budget via
+    # bloom_bits_per_bucket, same no-false-negative contract, plus in-place
+    # DELETION so seen-TTL/recrawl maintenance subtracts expired keys from
+    # blobs instead of rebuilding the sidecar from the full 10^10-key seen
+    # table). Blobs self-describe by magic, so flipping this mid-store is
+    # safe: old buckets keep probing under their old kind.
+    seen_filter_kind: str = "bloom"
     # --- layout knobs (promoted from frontier.py module constants, r1 #9) ---
     # n_buckets: url_hash bucket count for the seen/pages hive layout; scale
     # with the corpus so each bucket's bloom blob holds ~n_keys/n_buckets at

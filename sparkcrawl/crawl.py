@@ -182,6 +182,19 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument(
+        "--seen-filter", choices=("bloom", "cuckoo"), default="bloom",
+        help="sidecar filter family for the URL-seen set: bloom (default) "
+             "or cuckoo (deletion-capable — enables --forget-before "
+             "in-place sidecar maintenance)",
+    )
+    ap.add_argument(
+        "--forget-before", type=int, metavar="ROUND", default=None,
+        help="maintenance mode: forget seen keys first enqueued at or "
+             "before ROUND (seen-TTL / recrawl), update the sidecar "
+             "(in-place for cuckoo stores, rebuild for bloom), then exit "
+             "without crawling",
+    )
+    ap.add_argument(
         "--export", metavar="FMT:DIR",
         help="after the crawl, export the extracted table (S6 feed export): "
              "FMT is jsonl or csv, e.g. --export jsonl:/tmp/out",
@@ -208,8 +221,23 @@ def main() -> None:
         max_rounds=args.max_rounds,
         depth_limit=args.depth_limit,
         obey_robots=not args.no_robots,
+        seen_filter_kind=args.seen_filter,
     )
     spark = get_spark(cores=args.cores, app="sparkcrawl")
+    if args.forget_before is not None:
+        from sparkcrawl.rounds import forget_seen
+
+        try:
+            res = forget_seen(
+                spark, SnapStore(args.store_dir), cfg, args.forget_before
+            )
+            print(
+                f"forgot {res['forgot']} seen keys up to round "
+                f"{args.forget_before} (sidecar: {res['sidecar']})"
+            )
+        finally:
+            spark.stop()
+        return
     try:
         summaries = run_crawl(
             spark, args.corpus_dir, args.store_dir, cfg, resume=args.resume,

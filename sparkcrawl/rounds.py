@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as _T
 
 from sparkcrawl.config import CrawlConfig
+from sparkcrawl.cuckoo import MAGIC as _CUCKOO_MAGIC
 from sparkcrawl.frontier import (
     FRONTIER_COLS,
     N_BUCKETS,
@@ -60,6 +61,7 @@ from sparkcrawl.frontier import (
     with_bucket,
 )
 from sparkcrawl.seenfilter import (
+    delete_bucket_keys,
     empty_sidecar,
     merge_bucket_blobs,
     probe_partitioned,
@@ -214,7 +216,8 @@ def init_crawl(spark: SparkSession, store: SnapStore, seeds_path: str,
     tables = {"frontier": f_snap, "seen": s_snap}
     if cfg.dedup_bloom and n_seeds >= cfg.bloom_min_seen:
         blobs = merge_bucket_blobs(
-            fr, empty_sidecar(spark), cfg.bloom_bits_per_bucket, cfg.bloom_k
+            fr, empty_sidecar(spark), cfg.bloom_bits_per_bucket, cfg.bloom_k,
+            kind=cfg.seen_filter_kind,
         )
         tables["seen_filter"] = store.overwrite("seen_filter", blobs)
     empty_robots = spark.createDataFrame(
@@ -825,7 +828,8 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
             base = base.unionByName(seen_keys.select("bucket", "url_hash"))
             old_sc = empty_sidecar(spark)
         merged = merge_bucket_blobs(
-            base, old_sc, cfg.bloom_bits_per_bucket, cfg.bloom_k
+            base, old_sc, cfg.bloom_bits_per_bucket, cfg.bloom_k,
+            kind=cfg.seen_filter_kind,
         )
         return store.overwrite("seen_filter", merged)
 
@@ -934,3 +938,70 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         # after commit_round — the manifest meta is int-valued counters only
         summary["stage_ms"] = _stage_ms  # type: ignore[assignment]
     return summary
+
+
+def forget_seen(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
+                up_to_round: int) -> dict:
+    """Seen-TTL / recrawl maintenance: forget every seen key first enqueued
+    at or before ``up_to_round`` so those URLs become crawlable again when
+    rediscovered. Real crawlers refresh (the reference leaves its dupefilter
+    append-only per job — scrapy/dupefilters.py::RFPDupeFilter — so a
+    recrawl means a new JOBDIR; at the 10^10-URL design point re-seeding is
+    not an option and the seen set must age in place).
+
+    Two sidecar paths, chosen by sniffing the committed blobs' magic (NOT
+    cfg — a store built under one kind must maintain correctly after the
+    config flips):
+
+    - **cuckoo** blobs: in-place ``delete_bucket_keys`` — one cogroup task
+      per bucket, streaming ONLY the expired keys. This is the path that
+      justifies the cuckoo backend: cost scales with |expired|, not |seen|.
+    - **bloom** blobs: full rebuild from the kept keys (bloom bits are
+      shared across keys, so subtraction is impossible) — a complete pass
+      over the kept seen set, ~10^10 keys at the design point.
+
+    Commits new ``seen``/``seen_filter`` snapshots and REWRITES the last
+    round manifest (atomic rename, same protocol as commit_round) with the
+    shrunken ``seen_total``, so resume continues from the post-forget state.
+    """
+    rounds_done = store.committed_rounds()
+    if not rounds_done:
+        raise ValueError("forget_seen: store has no committed rounds")
+    last = rounds_done[-1]
+    man = store.round_manifest(last)
+    snaps = dict(man["tables"])
+    meta = dict(man.get("meta", {}))
+
+    seen = store.read(spark, "seen", snaps["seen"])
+    expired = seen.filter(F.col("first_round") <= up_to_round).persist()
+    n_expired = expired.count()
+    out = {"round": last, "forgot": int(n_expired), "sidecar": "none"}
+    if n_expired == 0:
+        expired.unpersist()
+        return out
+    kept = seen.filter(F.col("first_round") > up_to_round)
+    snaps["seen"] = store.overwrite("seen", kept, partition_by=["bucket"])
+
+    if "seen_filter" in snaps:
+        sidecar = store.read(spark, "seen_filter", snaps["seen_filter"])
+        head = sidecar.select("filter").head(1)
+        is_cuckoo = bool(head) and bytes(head[0]["filter"])[:4] == _CUCKOO_MAGIC
+        if is_cuckoo:
+            new_sc = delete_bucket_keys(expired, sidecar)
+            out["sidecar"] = "cuckoo_delete"
+        else:
+            new_sc = merge_bucket_blobs(
+                kept.select("bucket", "url_hash"), empty_sidecar(spark),
+                cfg.bloom_bits_per_bucket, cfg.bloom_k,
+                kind=cfg.seen_filter_kind,
+            )
+            out["sidecar"] = "rebuild"
+        snaps["seen_filter"] = store.overwrite("seen_filter", new_sc)
+
+    expired.unpersist()
+    meta["seen_total"] = max(
+        0, int(meta.get("seen_total", n_expired)) - int(n_expired)
+    )
+    meta["forgot_keys"] = int(meta.get("forgot_keys", 0)) + int(n_expired)
+    store.commit_round(last, snaps, meta=meta)
+    return out

@@ -488,3 +488,75 @@ def test_finish_reason_matches_oracle(spark, corpus, crawled, golden, tmp_path_f
     s = run_crawl(spark, corpus, store_dir, cfg)
     assert s[-1]["finish_reason"] == "closespider_timeout"
     assert len(s) == 1
+
+
+def test_cuckoo_sidecar_equals_bloom_path(spark, corpus, golden, tmp_path_factory):
+    """seen_filter_kind="cuckoo" swaps the sidecar family (sparkcrawl/
+    cuckoo.py) under the identical probe/merge cogroups; schedule ordering
+    and the final seen set must equal the bloom-path golden run bit-for-bit,
+    and the committed blobs must actually be cuckoo (magic SCK1)."""
+    from sparkcrawl.cuckoo import MAGIC
+
+    cfg = CrawlConfig(round_size=50, bloom_min_seen=0, seen_filter_kind="cuckoo")
+    store_dir = str(tmp_path_factory.mktemp("store_cuckoo"))
+    run_crawl(spark, corpus, store_dir, cfg)
+    store = SnapStore(store_dir)
+    got = spark_rounds(spark, store)
+    for i, g in enumerate(golden.rounds):
+        assert got.get(i, []) == g, f"round {i}"
+    seen = {r["canon"] for r in store.read(spark, "seen").select("canon").collect()}
+    assert seen == golden.seen
+    blobs = store.read(spark, "seen_filter").select("filter").collect()
+    assert blobs and all(bytes(r["filter"])[:4] == MAGIC for r in blobs)
+
+
+@pytest.mark.parametrize("kind", ["cuckoo", "bloom"])
+def test_forget_seen_ttl_maintenance(spark, corpus, tmp_path_factory, kind):
+    """forget_seen (seen-TTL / recrawl): keys first enqueued at or before the
+    cutoff leave the seen table AND stop probing positive in the sidecar —
+    in place for cuckoo blobs (delete_bucket_keys), via full rebuild for
+    bloom; kept keys must still probe positive (no false negatives). The
+    rewritten round manifest carries the shrunken seen_total, so a resumed
+    crawl continues from the post-forget state."""
+    from sparkcrawl.rounds import forget_seen
+    from sparkcrawl.seenfilter import load_filter
+
+    cfg = CrawlConfig(round_size=50, bloom_min_seen=0, seen_filter_kind=kind)
+    store_dir = str(tmp_path_factory.mktemp(f"store_forget_{kind}"))
+    run_crawl(spark, corpus, store_dir, cfg)
+    store = SnapStore(store_dir)
+    before = store.read(spark, "seen").select(
+        "bucket", "url_hash", "first_round"
+    ).collect()
+    cutoff = 1
+    expired = {(r["bucket"], r["url_hash"]) for r in before
+               if r["first_round"] <= cutoff}
+    kept = {(r["bucket"], r["url_hash"]) for r in before
+            if r["first_round"] > cutoff}
+    assert expired and kept  # the fixture crawl spans enough rounds
+
+    res = forget_seen(spark, store, cfg, up_to_round=cutoff)
+    assert res["forgot"] == len(expired)
+    assert res["sidecar"] == ("cuckoo_delete" if kind == "cuckoo" else "rebuild")
+
+    after = {(r["bucket"], r["url_hash"])
+             for r in store.read(spark, "seen")
+             .select("bucket", "url_hash").collect()}
+    assert after == kept
+
+    filters = {r["bucket"]: load_filter(bytes(r["filter"]))
+               for r in store.read(spark, "seen_filter").collect()}
+    for b, h in kept:  # hard invariant: kept keys never go negative
+        assert filters[b].contains_many([h]).all(), (b, h)
+    import numpy as np
+    fp_hits = sum(int(filters[b].contains_many([h])[0])
+                  for b, h in expired if b in filters)
+    # expired keys may false-positive (resolved by the exact join) but the
+    # population must be gone: allow only a tiny FP residue
+    assert fp_hits <= max(1, len(expired) // 20), fp_hits
+
+    # the rewritten manifest is the resume point
+    last = store.committed_rounds()[-1]
+    meta = store.round_manifest(last)["meta"]
+    assert meta["forgot_keys"] == len(expired)
+    assert meta["seen_total"] == len(before) - len(expired)
