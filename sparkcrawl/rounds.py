@@ -943,8 +943,9 @@ def one_round(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
 def forget_seen(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
                 up_to_round: int) -> dict:
     """Seen-TTL / recrawl maintenance: forget every seen key first enqueued
-    at or before ``up_to_round`` so those URLs become crawlable again when
-    rediscovered. Real crawlers refresh (the reference leaves its dupefilter
+    at or before ``up_to_round`` — except keys still QUEUED in the frontier
+    (see below) — so those URLs become crawlable again when rediscovered.
+    Real crawlers refresh (the reference leaves its dupefilter
     append-only per job — scrapy/dupefilters.py::RFPDupeFilter — so a
     recrawl means a new JOBDIR; at the 10^10-URL design point re-seeding is
     not an option and the seen set must age in place).
@@ -973,13 +974,27 @@ def forget_seen(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     meta = dict(man.get("meta", {}))
 
     seen = store.read(spark, "seen", snaps["seen"])
-    expired = seen.filter(F.col("first_round") <= up_to_round).persist()
+    # Keys still QUEUED in the frontier are exempt: forgetting one would let
+    # a later rediscovery enqueue it a SECOND time while the first row still
+    # waits (duplicate frontier rows → double fetch). The frontier table
+    # holds QUEUED rows only, so its keys are exactly the exemption set; at
+    # the design point this anti-join is the same co-bucketed shape as the
+    # dedup path's O3 join.
+    frontier_keys = store.read(spark, "frontier", snaps["frontier"]).select(
+        "url_hash", "canon"
+    )
+    old_enough = seen.filter(F.col("first_round") <= up_to_round)
+    expired = old_enough.join(
+        frontier_keys, ["url_hash", "canon"], "left_anti"
+    ).persist()
     n_expired = expired.count()
     out = {"round": last, "forgot": int(n_expired), "sidecar": "none"}
     if n_expired == 0:
         expired.unpersist()
         return out
-    kept = seen.filter(F.col("first_round") > up_to_round)
+    kept = seen.filter(F.col("first_round") > up_to_round).unionByName(
+        old_enough.join(frontier_keys, ["url_hash", "canon"], "left_semi")
+    )
     snaps["seen"] = store.overwrite("seen", kept, partition_by=["bucket"])
 
     if "seen_filter" in snaps:

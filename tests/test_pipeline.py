@@ -560,3 +560,33 @@ def test_forget_seen_ttl_maintenance(spark, corpus, tmp_path_factory, kind):
     meta = store.round_manifest(last)["meta"]
     assert meta["forgot_keys"] == len(expired)
     assert meta["seen_total"] == len(before) - len(expired)
+
+
+def test_forget_seen_exempts_queued_keys(spark, corpus, tmp_path_factory):
+    """A seen key whose frontier row is still QUEUED must survive
+    forget_seen even when old enough: forgetting it would let a later
+    rediscovery enqueue a SECOND frontier row while the first still waits
+    (double fetch). Stop the crawl early so the frontier is non-empty, then
+    forget with a cutoff past every round."""
+    from sparkcrawl.rounds import forget_seen
+
+    cfg = CrawlConfig(round_size=50, bloom_min_seen=0,
+                      seen_filter_kind="cuckoo", max_rounds=3)
+    store_dir = str(tmp_path_factory.mktemp("store_forget_queued"))
+    run_crawl(spark, corpus, store_dir, cfg)
+    store = SnapStore(store_dir)
+    queued = {(r["url_hash"], r["canon"])
+              for r in store.read(spark, "frontier")
+              .select("url_hash", "canon").collect()}
+    before = {(r["url_hash"], r["canon"])
+              for r in store.read(spark, "seen")
+              .select("url_hash", "canon").collect()}
+    assert queued  # early stop leaves work queued (fixture invariant)
+
+    res = forget_seen(spark, store, cfg, up_to_round=99)
+    want_kept = before & queued
+    after = {(r["url_hash"], r["canon"])
+             for r in store.read(spark, "seen")
+             .select("url_hash", "canon").collect()}
+    assert after == want_kept
+    assert res["forgot"] == len(before) - len(want_kept)
