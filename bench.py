@@ -38,6 +38,8 @@ HEADLINE = [
     "lm_perplexity",
     # round 4e: DSIR importance weights + domain-reputation filtering
     "dsir_weights", "host_quality",
+    # round 4f: cumulative data-hygiene retention funnel
+    "filter_funnel",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))

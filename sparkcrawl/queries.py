@@ -1060,6 +1060,72 @@ def _q_host_quality(engine: str) -> str:
     """
 
 
+def _q_filter_funnel(engine: str) -> str:
+    # Data-hygiene retention funnel (the reporting shape FineWeb/RefinedWeb/
+    # Dolma publish for their cleaning pipelines — public methodology,
+    # reimplemented): documents surviving each CUMULATIVE filter stage
+    # (all → lang-ID → length band → mean-word-length band → unique-token
+    # ratio), with retention vs the corpus and vs the previous stage. One
+    # text pass: all five stage counters come from ONE conditional
+    # aggregation over one projection (no per-stage scans), the funnel
+    # itself is a 1-row × 5-stage cross join — constant-size past the scan,
+    # so the plan is a single map-side-combinable aggregate at any corpus
+    # size. The stage-gate VALUES table keeps the 1-row aggregate referenced
+    # ONCE (a UNION-ALL-per-stage form would let Spark's CTE inlining rerun
+    # the scan per stage). Ratios are single IEEE divisions of BIGINT counts
+    # + ROUND — no accumulation-order sensitivity; zero-doc corpora yield
+    # NULL ratios on both engines via explicit guards. Thresholds verified
+    # non-vacuous at both test SFs (every stage drops documents:
+    # 500 → ~200 → ~140 → ~66 → 27).
+    if engine == "spark":
+        ntok = "size(split(text, ' '))"
+        nuniq = "size(array_distinct(split(text, ' ')))"
+    else:
+        ntok = "len(string_split(text, ' '))"
+        nuniq = "len(list_distinct(string_split(text, ' ')))"
+    return f"""
+      WITH doc AS (
+        SELECT lang,
+               CAST({ntok} AS BIGINT) AS n_tok,
+               CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) AS n_alpha,
+               CAST({nuniq} AS BIGINT) AS n_uniq
+        FROM documents),
+      f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN lang = 'en' AND n_tok BETWEEN 30 AND 90
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN lang = 'en' AND n_tok BETWEEN 30 AND 90
+                        AND n_alpha / n_tok <= 4.5
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+               CAST(SUM(CASE WHEN lang = 'en' AND n_tok BETWEEN 30 AND 90
+                        AND n_alpha / n_tok <= 4.5
+                        AND CAST(n_uniq AS DOUBLE) / n_tok >= 0.45
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s4
+        FROM doc)
+      SELECT stage_no, stage, docs,
+             CASE WHEN s0_docs = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE ROUND(CAST(docs AS DOUBLE) / s0_docs, 6)
+             END AS retained_vs_total,
+             CASE WHEN prev = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE ROUND(CAST(docs AS DOUBLE) / prev, 6)
+             END AS retained_vs_prev
+      FROM (
+        SELECT s.stage_no,
+               CASE s.stage_no WHEN 0 THEN 'total' WHEN 1 THEN 'lang_en'
+                    WHEN 2 THEN 'length_band' WHEN 3 THEN 'word_shape'
+                    ELSE 'uniq_tokens' END AS stage,
+               CASE s.stage_no WHEN 0 THEN f.s0 WHEN 1 THEN f.s1
+                    WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 ELSE f.s4 END AS docs,
+               CASE s.stage_no WHEN 0 THEN f.s0 WHEN 1 THEN f.s0
+                    WHEN 2 THEN f.s1 WHEN 3 THEN f.s2 ELSE f.s3 END AS prev,
+               f.s0 AS s0_docs
+        FROM f CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS s(stage_no)
+      ) x
+    """
+
+
 def _q_pagerank(engine: str) -> str:
     # Link-analysis centrality (PageRank, 5 unrolled iterations) over a
     # deterministic link graph on documents: doc d links to (d² + 1) % N,
@@ -1612,6 +1678,7 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "lm_perplexity": _q_lm_perplexity,
     "dsir_weights": _q_dsir_weights,
     "host_quality": _q_host_quality,
+    "filter_funnel": _q_filter_funnel,
     "pagerank": _q_pagerank,
     "paragraph_dedup": _q_paragraph_dedup,
     "minhash_signatures": _q_minhash_signatures,
@@ -2335,6 +2402,11 @@ _DEFERRED_PAST_DRIVER_WINDOW = [
     # q3's join-agg families remain represented by status_counts,
     # window_hourly, broadcast_join and host_quality itself
     "tpch_q1", "tpch_q3",
+    # round 4f: q6 (the last in-window TPC-H, green r1–r3) overflows to make
+    # room for filter_funnel; its pushdown-scan-agg family remains
+    # represented in-window by link_filter and seen_antijoin (both carry
+    # parquet-pushed predicates over a scan-side filter)
+    "tpch_q6",
 ]
 
 def _paragraph_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,6 +69,7 @@ def test_driver_window_holds_every_entry_needing_a_green_row():
         "media_ann", "stream_window_counts", "boilerplate_ngrams",
         "contamination", "tfidf_top_terms", "pack_sequences", "pagerank",
         "paragraph_dedup", "lm_perplexity", "dsir_weights", "host_quality",
+        "filter_funnel",
     }
     assert must_be_checked <= window, sorted(must_be_checked - window)
     overflow = set(order[50:])
