@@ -40,6 +40,9 @@ HEADLINE = [
     "dsir_weights", "host_quality",
     # round 4f: cumulative data-hygiene retention funnel
     "filter_funnel",
+    # round 4g: PII scrub, exact-substring span dedup, training shards,
+    # SemDeDup cluster-bounded cosine dedup
+    "pii_redact", "dup_spans", "shard_assign", "semdedup",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))

@@ -1628,6 +1628,158 @@ def _q_canonicalize(engine: str) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# round 4g: webtext-hygiene additions — PII redaction, exact-substring span
+# dedup (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better"), deterministic training-shard assignment, and SemDeDup-style
+# cluster-then-cosine dedup (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+# Regexes restricted to the Java-regex ∩ RE2 ∩ SQL-literal-safe subset: no
+# backslash classes (\d, \b) — Spark SQL string literals eat backslashes that
+# DuckDB keeps, so character classes are spelled out (same pin as F4's
+# Java∩Python regex rule, config.py).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_PHONE = "[+][0-9]{2}-[0-9]{3}-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def _regex_count(engine: str, x: str, rx: str) -> str:
+    if engine == "spark":
+        return f"size(regexp_extract_all({x}, '{rx}', 0))"
+    return f"len(regexp_extract_all({x}, '{rx}'))"
+
+
+def _regex_sub_all(engine: str, x: str, rx: str, rep: str) -> str:
+    # Spark's regexp_replace is replace-ALL by default; DuckDB needs 'g'
+    if engine == "spark":
+        return f"regexp_replace({x}, '{rx}', '{rep}')"
+    return f"regexp_replace({x}, '{rx}', '{rep}', 'g')"
+
+
+def _q_pii_redact(engine: str) -> str:
+    """PII detection + redaction (emails, phone numbers, IPv4) — the
+    CCNet/Dolma-style scrub pass every production webtext pipeline runs.
+    The synthetic documents carry no PII, so the query deterministically
+    plants doc_id-derived PII on a doc_id-modulus subset FIRST (same
+    synthesize-from-the-row pattern as pagerank's edges) — the redaction
+    counts are nontrivial and vary per row, so the engine comparison is
+    non-vacuous (the seen_antijoin lesson, VERDICT r3 wrong #1). Counts are
+    taken on the progressively-redacted text (emails → phones → IPs) so no
+    span is double-counted. One linear text pass, no shuffle until the
+    driver's own collect — embarrassingly parallel at any corpus size."""
+    c_em = _regex_count(engine, "txt", _PII_EMAIL)
+    r_em = _regex_sub_all(engine, "txt", _PII_EMAIL, "<EMAIL>")
+    c_ph = _regex_count(engine, "t1", _PII_PHONE)
+    r_ph = _regex_sub_all(engine, "t1", _PII_PHONE, "<PHONE>")
+    c_ip = _regex_count(engine, "t2", _PII_IP)
+    r_ip = _regex_sub_all(engine, "t2", _PII_IP, "<IP>")
+    return f"""
+      WITH aug AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                    || CAST(doc_id AS STRING) || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' call +44-555-'
+                    || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+                    || CAST(doc_id % 256 AS STRING) || '.0.'
+                    || CAST(doc_id % 100 AS STRING) ELSE '' END AS txt
+        FROM documents),
+      s1 AS (SELECT doc_id, {c_em} AS n_emails, {r_em} AS t1 FROM aug),
+      s2 AS (SELECT doc_id, n_emails, {c_ph} AS n_phones, {r_ph} AS t2 FROM s1),
+      s3 AS (SELECT doc_id, n_emails, n_phones, {c_ip} AS n_ips, {r_ip} AS t3
+             FROM s2)
+      SELECT doc_id,
+             CAST(n_emails AS BIGINT) AS n_emails,
+             CAST(n_phones AS BIGINT) AS n_phones,
+             CAST(n_ips AS BIGINT) AS n_ips,
+             md5(t3) AS redacted_md5
+      FROM s3
+    """
+
+
+def _q_dup_spans(engine: str) -> str:
+    """Exact-substring span dedup (Lee et al. 2022): mark every word-k-gram
+    position whose gram appears in MORE THAN ONE document, report per-doc
+    duplicated-span counts and ratio. k=3 here because the synthetic corpus
+    draws from a ~40-word vocabulary (k=50 tokens at production scale is a
+    parameter change only — the plan shape is identical). Scale shape: one
+    explode pass (≈n_tokens rows/doc), a map-side-combinable GROUP BY on the
+    gram hash, and ONE hash-partitioned equi-join back — the distributed
+    formulation of the suffix-array pass, no all-pairs anywhere. The ratio
+    is integer-micro (FLOOR of a double whose numerator < 2^53) so the
+    distributed aggregation is order-independent and bit-exact on both
+    engines."""
+    sh = _shingles(engine)
+    h = _tokhash(engine, "g")
+    expl = "explode" if engine == "spark" else "unnest"
+    guard = "length(text) - length(replace(text, ' ', '')) >= 2"
+    return f"""
+      WITH grams AS (
+        SELECT doc_id, {h} AS ghash
+        FROM (SELECT doc_id, {expl}({sh}) AS g
+              FROM documents WHERE {guard}) t),
+      dup AS (
+        SELECT ghash FROM grams GROUP BY ghash
+        HAVING COUNT(DISTINCT doc_id) > 1)
+      SELECT g.doc_id AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN d.ghash IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_spans,
+             CAST(FLOOR(SUM(CASE WHEN d.ghash IS NOT NULL THEN 1 ELSE 0 END)
+                        * 1000000.0 / COUNT(*)) AS BIGINT) AS dup_ratio_micro
+      FROM grams g LEFT JOIN dup d ON g.ghash = d.ghash
+      GROUP BY g.doc_id
+    """
+
+
+def _q_shard_assign(engine: str) -> str:
+    """Deterministic global shuffle + shard assignment for training-data
+    export: shard = TOKHASH(doc_id) % 8, position = rank of the hash within
+    the shard. This is exactly `repartition(shard).sortWithinPartitions(hv)`
+    — the reproducible pre-training shuffle (no RNG state, no driver
+    coordination; a pure function of the row, identical at any cluster
+    size, same property as stratified_sample). The per-shard window is the
+    per-output-file writer order, so at 100 TB the shard count is the file
+    count and each window sorts one shard's slice only — no global sort."""
+    h = _tokhash(engine, "CAST(doc_id AS STRING)")
+    return f"""
+      WITH h AS (SELECT doc_id, {h} AS hv FROM documents)
+      SELECT doc_id,
+             CAST(hv % 8 AS INT) AS shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8
+                                     ORDER BY hv, doc_id) AS INT) AS pos
+      FROM h
+    """
+
+
+def _q_semdedup(engine: str) -> str:
+    """SemDeDup (Abbas et al. 2023): embeddings are pre-clustered (the
+    `label` column = the coarse cell the IVF queries use), pairwise cosine
+    runs WITHIN each cluster only, and any vector with a smaller-id
+    within-cluster neighbor above the threshold is marked duplicate. The
+    cluster equi-join bounds pair work to Σ|cell|² instead of n² — the
+    paper's exact scaling argument. τ=0.25 is pinned to the synthetic
+    corpus' within-label cosine distribution (measured p99≈0.295, max≈0.47
+    at sf0.01) so a nontrivial dup set exists at every scale factor —
+    production embeddings use τ≈0.95+; the parameter is the only change.
+    Cosine is the battery's bit-exact sequential-fold formula rounded to
+    1e-6 before the threshold compare, so both engines make identical
+    keep/drop decisions."""
+    cos = _cosine(engine, "a.embedding", "b.embedding")
+    return f"""
+      WITH dups AS (
+        SELECT DISTINCT b.vec_id AS vec_id
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND({cos}, 6) >= 0.25)
+      SELECT e.vec_id AS vec_id, e.label AS label,
+             CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_id
+    """
+
+
 _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "seen_antijoin": _q_seen_antijoin,
     "perhost_topk": _q_perhost_topk,
@@ -1679,6 +1831,9 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "dsir_weights": _q_dsir_weights,
     "host_quality": _q_host_quality,
     "filter_funnel": _q_filter_funnel,
+    "pii_redact": _q_pii_redact,
+    "dup_spans": _q_dup_spans,
+    "shard_assign": _q_shard_assign,
     "pagerank": _q_pagerank,
     "paragraph_dedup": _q_paragraph_dedup,
     "minhash_signatures": _q_minhash_signatures,
@@ -1689,12 +1844,54 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "ann_ivf": _q_ann_ivf,
     "ann_ivf_multiprobe": _q_ann_ivf_multiprobe,
     "embed_neardup": _q_embed_neardup,
+    "semdedup": _q_semdedup,
     "embed_norms": _q_embed_norms,
     "event_pivot": _q_event_pivot,
     "multimodal_bytes": _q_multimodal_bytes,
     "link_filter": _q_link_filter,
     "rolling_avg": _q_rolling_avg,
 }
+
+
+def _dup_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame twin of _q_dup_spans: the shared SQL references the `grams`
+    # CTE twice (dup detection + join-back) and Spark inlines CTEs, so the
+    # oracle text would explode-and-hash the full corpus TWICE. Persist the
+    # gram pass once; the rest is the identical map-side-combinable GROUP BY
+    # plus one hash-partitioned equi-join (oracle SQL unchanged).
+    from pyspark.sql import functions as F
+
+    release_cached()
+    register_views(spark, sf_dir)
+    grams = _persist_tracked(spark.sql(
+        "SELECT doc_id, " + _tokhash("spark", "g") + " AS ghash "
+        "FROM (SELECT doc_id, explode(" + _shingles("spark") + ") AS g "
+        "FROM documents "
+        "WHERE length(text) - length(replace(text, ' ', '')) >= 2) t"))
+    dup = (
+        grams.groupBy("ghash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("ghash", F.lit(1).alias("isdup"))
+    )
+    j = grams.join(dup, "ghash", "left").withColumn(
+        "isdup", F.coalesce("isdup", F.lit(0))
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum("isdup").cast("bigint").alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.floor(F.col("n_dup_spans") * 1000000.0 / F.col("n_spans"))
+            .cast("bigint")
+            .alias("dup_ratio_micro"),
+        )
+    )
 
 
 def _make_sql_query(builder: Callable[[str], str]):
@@ -2407,6 +2604,14 @@ _DEFERRED_PAST_DRIVER_WINDOW = [
     # represented in-window by link_filter and seen_antijoin (both carry
     # parquet-pushed predicates over a scan-side filter)
     "tpch_q6",
+    # round 4g: four rounds-1–3-green shapes each SUBSUMED by a stronger
+    # in-window sibling overflow to make room for pii_redact / dup_spans /
+    # shard_assign / semdedup (all new, no driver history):
+    # minhash_signatures' SQL is embedded verbatim inside minhash_lsh_pairs;
+    # ann_ivf's single-cell probe is ann_ivf_multiprobe with nprobe=1;
+    # window_hourly's window-agg family stays via rolling_avg + event_pivot;
+    # sessionize's gap-window family stays via rolling_avg's lag windows
+    "minhash_signatures", "ann_ivf", "window_hourly", "sessionize",
 ]
 
 def _paragraph_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2611,6 +2816,8 @@ _DF_TWINS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and source-reputation filtering (one text pass + broadcast join-back)
     "dsir_weights": _dsir_weights_spark,
     "host_quality": _host_quality_spark,
+    # round 4g: single gram pass instead of CTE re-inline
+    "dup_spans": _dup_spans_spark,
 }
 
 
