@@ -242,3 +242,47 @@ def test_lm_perplexity_vocab_cached_scalar_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_dup_spans_single_gram_pass(spark):
+    """The dup_spans twin must explode-and-hash the text ONCE: the gram
+    table is persisted and both consumers (dup-gram agg, join-back) read
+    the cache — the plain-SQL CTE plan would scan+explode text twice. Also
+    no Window and no nested loop: the dup join is a hash equi-join on the
+    gram hash."""
+    from sparkcrawl.queries import queries
+
+    df = queries()["dup_spans"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_join_is_cluster_equi_join(spark):
+    """SemDeDup's pair generation must hash-partition on the cluster label
+    (an equi-join — Σ|cell|² work), never a nested-loop over all pairs
+    (n² work): the vec_id < ordering and the cosine threshold are
+    post-join filters, not join strategies."""
+    from sparkcrawl.queries import queries
+
+    df = queries()["semdedup"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "label" in plan, plan
+
+
+def test_shard_assign_no_global_sort(spark):
+    """shard_assign's window sorts WITHIN each hash-partitioned shard (the
+    per-output-file writer order): the plan must hash-partition on the
+    shard expression and contain no range-partitioned (global) sort."""
+    from sparkcrawl.queries import queries
+
+    df = queries()["shard_assign"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # formatted plans put the partitioning in the Exchange node's Arguments
+    assert "hashpartitioning" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
