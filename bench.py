@@ -43,6 +43,9 @@ HEADLINE = [
     # round 4g: PII scrub, exact-substring span dedup, training shards,
     # SemDeDup cluster-bounded cosine dedup
     "pii_redact", "dup_spans", "shard_assign", "semdedup",
+    # round 4h: integer-fixed-point Lloyd's, winnowing fingerprints,
+    # mixture resampling manifest
+    "kmeans_embed", "winnowing", "mixture_weights",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))

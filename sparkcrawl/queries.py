@@ -1796,6 +1796,155 @@ def _q_semdedup(engine: str) -> str:
     """
 
 
+def _kmeans_explode(engine: str) -> str:
+    """Micro-quantized embedding dims with a +1e6 offset so every value is
+    a non-negative BIGINT: centroid means use integer division, and trunc
+    (Spark DIV) ≡ floor (DuckDB //) only holds for non-negative operands.
+    Distances are offset-invariant ((v+o)-(c+o) = v-c)."""
+    if engine == "spark":
+        return (
+            "SELECT vec_id, pos AS dim, "
+            "CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS v "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, val"
+        )
+    return (
+        "SELECT vec_id, i - 1 AS dim, "
+        "CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS v "
+        "FROM embeddings, generate_series(1, 64) g(i)"
+    )
+
+
+def _q_kmeans_embed(engine: str) -> str:
+    """Lloyd's k-means over the embedding table (k=8, 3 unrolled
+    assignment rounds / 2 centroid updates) — the clustering pass that
+    PRODUCES the coarse cells SemDeDup and the IVF queries consume (their
+    `label` column is this operator's output in a real pipeline). All
+    arithmetic is integer fixed point: dims are micro-quantized with a
+    non-negative offset (see _kmeans_explode), distances are BIGINT sums of
+    squared diffs (≤ 64·(1.06e6)² ≈ 7.2e13, overflow-safe), centroid
+    updates are SUM DIV COUNT on non-negative values, and the argmin
+    tie-breaks on (d2, cid) — so Spark ≡ DuckDB bit-exactly with zero float
+    ops. Init = the embeddings of vec_id 0..7 (deterministic, any SF).
+    Empty clusters keep their previous centroid (the LEFT JOIN + COALESCE).
+    At 100 TB each iteration is: assignment map-side against the tiny
+    broadcast centroid table + ONE partial-agg shuffle for the update —
+    the DataFrame twin (_kmeans_embed_spark) pins exactly that plan; this
+    shared SQL is the semantics contract both engines agree on."""
+    div = "DIV" if engine == "spark" else "//"
+    parts = [f"WITH ev AS ({_kmeans_explode(engine)}),",
+             "c0 AS (SELECT vec_id AS cid, dim, v AS c FROM ev WHERE vec_id < 8)"]
+    prev = "c0"
+    for k in (1, 2, 3):
+        parts.append(f""",
+      d{k} AS (
+        SELECT e.vec_id, c.cid, CAST(SUM((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS d2
+        FROM ev e JOIN {prev} c ON c.dim = e.dim
+        GROUP BY e.vec_id, c.cid),
+      a{k} AS (
+        SELECT vec_id, cid, d2 FROM (
+          SELECT vec_id, cid, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY d2 ASC, cid ASC) AS rk
+          FROM d{k}) t
+        WHERE rk = 1)""")
+        if k < 3:
+            parts.append(f""",
+      u{k} AS (
+        SELECT a.cid, e.dim, CAST(SUM(e.v) {div} COUNT(*) AS BIGINT) AS c
+        FROM a{k} a JOIN ev e ON e.vec_id = a.vec_id
+        GROUP BY a.cid, e.dim),
+      c{k} AS (
+        SELECT p.cid, p.dim, COALESCE(u.c, p.c) AS c
+        FROM {prev} p LEFT JOIN u{k} u ON u.cid = p.cid AND u.dim = p.dim)""")
+            prev = f"c{k}"
+    parts.append("""
+      SELECT vec_id, CAST(cid AS INT) AS cluster, d2 AS d2_fp FROM a3
+    """)
+    return "".join(parts)
+
+
+def _q_winnowing(engine: str) -> str:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS
+    2003, reimplemented from the published algorithm): hash every word-
+    3-gram shingle, slide a w=4 window over the per-document hash sequence,
+    keep each window's minimum — the DISTINCT selected hashes are the
+    document's fingerprint set (guaranteed-coverage sub-document dedup:
+    any shared run ≥ w+k-1 words shares a fingerprint). Documents with
+    fewer than w shingles contribute their single global-min hash (the
+    whole-sequence degenerate window). The window function partitions by
+    doc_id, so at 100 TB each document's pass is one partition-local
+    sequential scan after a single shuffle on doc_id — full text never
+    shuffles (only the 8-byte hash stream does)."""
+    guard = "length(text) - length(replace(text, ' ', '')) >= 2"
+    sh = _shingles(engine)
+    h = _tokhash(engine, "sh")
+    if engine == "spark":
+        # CASE keeps the shingle lambda unevaluated on <3-token rows: the
+        # WHERE guard alone is not ordered before the projection once
+        # Catalyst collapses the subquery into the Generate input, and the
+        # descending sequence() would element_at out of bounds (ANSI error)
+        sh = (f"CASE WHEN {guard} THEN {sh} "
+              "ELSE CAST(array() AS ARRAY<STRING>) END")
+        g = (f"SELECT doc_id, pos, {h} AS h "
+             f"FROM (SELECT doc_id, {sh} AS ss FROM documents WHERE {guard}) s "
+             "LATERAL VIEW posexplode(ss) t AS pos, sh")
+    else:
+        # DuckDB: parallel unnests in one SELECT zip in lockstep — the
+        # portable posexplode (generate_series can't take a lateral column)
+        g = (f"SELECT doc_id, pos, {h} AS h FROM ("
+             "SELECT doc_id, unnest(range(len(ss))) AS pos, unnest(ss) AS sh "
+             f"FROM (SELECT doc_id, {sh} AS ss FROM documents WHERE {guard}) s) u")
+    return f"""
+      WITH g AS ({g}),
+      n AS (SELECT doc_id, COUNT(*) AS cnt FROM g GROUP BY doc_id),
+      wm AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM g)
+      SELECT DISTINCT wm.doc_id AS doc_id, wm.fp AS fp
+      FROM wm JOIN n ON n.doc_id = wm.doc_id
+      WHERE n.cnt >= 4 AND wm.pos <= n.cnt - 4
+      UNION ALL
+      SELECT g.doc_id AS doc_id, MIN(g.h) AS fp
+      FROM g JOIN n ON n.doc_id = g.doc_id
+      WHERE n.cnt < 4 GROUP BY g.doc_id
+    """
+
+
+def _q_mixture_weights(engine: str) -> str:
+    """Domain-mixture resampling manifest (the DoReMi/Pile-style reweighting
+    pass): per-language token totals give each language's natural share;
+    the target mixture is uniform over languages; weight = target/natural.
+    Each document gets an integer repetition count — floor(weight) plus one
+    more iff its 60-bit hash fraction falls below the fractional part — the
+    deterministic per-row Bernoulli that makes E[repeats] = weight with no
+    RNG state and no driver coordination (same cluster-size-invariance
+    property as stratified_sample/shard_assign). All weight arithmetic is
+    BIGINT micro-units (tot·1e6 ≤ 1e12 at sf0.1 — overflow-safe), so both
+    engines make identical repeat decisions."""
+    div = "DIV" if engine == "spark" else "//"
+    ntok = ("size(split(text, ' '))" if engine == "spark"
+            else "len(string_split(text, ' '))")
+    h = _tokhash(engine, "CAST(t.doc_id AS STRING)")
+    return f"""
+      WITH tok AS (SELECT doc_id, lang, CAST({ntok} AS BIGINT) AS n_tok
+                   FROM documents),
+      lg AS (SELECT lang, SUM(n_tok) AS lang_tok FROM tok GROUP BY lang),
+      tot AS (SELECT SUM(lang_tok) AS all_tok, COUNT(*) AS n_langs FROM lg),
+      w AS (SELECT lang,
+                   CAST((all_tok * 1000000) {div} (n_langs * lang_tok) AS BIGINT)
+                     AS w_micro
+            FROM lg CROSS JOIN tot)
+      SELECT t.doc_id AS doc_id, t.lang AS lang, t.n_tok AS n_tokens,
+             w.w_micro AS weight_micro,
+             CAST(w.w_micro {div} 1000000
+                  + CASE WHEN ({h}) % 1000000 < w.w_micro % 1000000
+                         THEN 1 ELSE 0 END AS INT) AS n_repeats
+      FROM tok t JOIN w ON w.lang = t.lang
+    """
+
+
 _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "seen_antijoin": _q_seen_antijoin,
     "perhost_topk": _q_perhost_topk,
@@ -1861,6 +2010,9 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "ann_ivf_multiprobe": _q_ann_ivf_multiprobe,
     "embed_neardup": _q_embed_neardup,
     "semdedup": _q_semdedup,
+    "kmeans_embed": _q_kmeans_embed,
+    "winnowing": _q_winnowing,
+    "mixture_weights": _q_mixture_weights,
     "embed_norms": _q_embed_norms,
     "event_pivot": _q_event_pivot,
     "multimodal_bytes": _q_multimodal_bytes,
@@ -2628,6 +2780,15 @@ _DEFERRED_PAST_DRIVER_WINDOW = [
     # window_hourly's window-agg family stays via rolling_avg + event_pivot;
     # sessionize's gap-window family stays via rolling_avg's lag windows
     "minhash_signatures", "ann_ivf", "window_hourly", "sessionize",
+    # round 4h: three more rounds-1–3-green shapes, each subsumed by a
+    # stronger in-window sibling, overflow to make room for kmeans_embed /
+    # winnowing / mixture_weights (all new, no driver history):
+    # token_stats' token counting runs inside lm_perplexity, pack_sequences
+    # and mixture_weights; langid's per-doc linear-scan heuristic family
+    # stays via quality_score + repetition_ratio; doc_fingerprint's
+    # hash-fingerprint family stays via dup_spans, paragraph_dedup and
+    # winnowing itself
+    "token_stats", "langid", "doc_fingerprint",
 ]
 
 def _paragraph_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2803,6 +2964,128 @@ def _pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("pr").alias("pr_micro")))
 
 
+def _kmeans_embed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame twin of the shared SQL: the ev CTE feeds every distance AND
+    # every update round, so Spark's CTE inlining would re-explode the
+    # embedding table 5× (plan audit: the plain SQL runs 11 parquet scans
+    # for 3 iterations). The Lloyd's shape a cluster actually wants:
+    # quantize ONCE into a persisted array<long> column, carry the k×64
+    # centroid table driver-side (8×64 ints — the same scalar-build-step
+    # pattern as the IVF centroid count), fold assignment map-side against
+    # centroid LITERALS (zip_with, no join, no shuffle), and spend the one
+    # shuffle per iteration on the update's partial agg. Arithmetic is the
+    # identical integer recurrence, so the result is bit-exact vs DuckDB.
+    from pyspark.sql import functions as F
+
+    release_cached()
+    register_views(spark, sf_dir)
+    q = _persist_tracked(spark.table("embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> "
+               "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000)"
+               ).alias("q")))
+    cent = {int(r["vec_id"]): list(r["q"])
+            for r in q.filter("vec_id < 8").collect()}
+
+    def d2(arr: list[int]) -> str:
+        lit = "array(" + ",".join(f"{v}L" for v in arr) + ")"
+        return (f"aggregate(zip_with(q, {lit}, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, v) -> acc + v)")
+
+    assigned = None
+    for it in range(3):
+        structs = ", ".join(
+            f"named_struct('d2', {d2(cent[cid])}, 'cid', {cid})"
+            for cid in sorted(cent))
+        # array_min over array<struct<d2,cid>> = lexicographic min =
+        # the shared SQL's ROW_NUMBER (d2 ASC, cid ASC) tie-break
+        assigned = q.select(
+            "vec_id", "q",
+            F.expr(f"array_min(array({structs}))").alias("best"))
+        if it < 2:
+            upd = (assigned
+                   .select(F.col("best.cid").alias("cid"),
+                           F.posexplode("q").alias("dim", "v"))
+                   .groupBy("cid", "dim")
+                   .agg(F.expr("CAST(SUM(v) DIV COUNT(*) AS BIGINT)")
+                        .alias("c"))
+                   .collect())
+            nxt = {cid: list(vs) for cid, vs in cent.items()}
+            for r in upd:
+                nxt[int(r["cid"])][int(r["dim"])] = int(r["c"])
+            cent = nxt
+    return assigned.select(
+        "vec_id",
+        F.col("best.cid").cast("int").alias("cluster"),
+        F.col("best.d2").alias("d2_fp"))
+
+
+def _winnowing_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame twin of the shared SQL: the g CTE feeds n, wm AND the
+    # short-doc branch, so Spark's CTE inlining would shingle-explode the
+    # text column three times. Explode ONCE into the slim (doc_id, pos, h)
+    # hash stream, persist it, and run the count/window/min branches off
+    # the persisted stream — at 100 TB only the 8-byte hashes shuffle
+    # (once, on doc_id), never the text.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    release_cached()
+    register_views(spark, sf_dir)
+    guard = "length(text) - length(replace(text, ' ', '')) >= 2"
+    # same lazy-CASE wrap as the shared SQL (see _q_winnowing): the guard
+    # alone does not order before the collapsed shingle projection
+    sh = (f"CASE WHEN {guard} THEN {_shingles('spark')} "
+          "ELSE CAST(array() AS ARRAY<STRING>) END")
+    h = _tokhash("spark", "sh")
+    g = _persist_tracked(spark.sql(
+        f"SELECT doc_id, pos, {h} AS h "
+        f"FROM (SELECT doc_id, {sh} AS ss FROM documents WHERE {guard}) s "
+        "LATERAL VIEW posexplode(ss) t AS pos, sh"))
+    n = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    full = (g.select("doc_id", "pos", F.min("h").over(w).alias("fp"))
+            .join(n, "doc_id")
+            .filter((F.col("cnt") >= 4) & (F.col("pos") <= F.col("cnt") - 4))
+            .select("doc_id", "fp").distinct())
+    short = (g.join(n.filter(F.col("cnt") < 4), "doc_id")
+             .groupBy("doc_id").agg(F.min("h").alias("fp")))
+    return full.unionByName(short)
+
+
+def _mixture_weights_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame twin of the shared SQL: the tok CTE feeds both the
+    # per-language aggregate and the final join, so the inlined plan runs
+    # the text→token-count pass twice. Project the slim (doc_id, lang,
+    # n_tok) columns ONCE, persist them, read the 5-row language table
+    # driver-side (pre-aggregated, same pattern as the crawl's counter
+    # collects), and broadcast the weights back onto the persisted
+    # projection — one text pass, no shuffle on the join.
+    from pyspark.sql import functions as F
+
+    release_cached()
+    register_views(spark, sf_dir)
+    tok = _persist_tracked(spark.table("documents").select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok")))
+    rows = tok.groupBy("lang").agg(F.sum("n_tok").alias("lang_tok")).collect()
+    all_tok = sum(int(r["lang_tok"]) for r in rows)
+    n_langs = len(rows)
+    # Python // ≡ the SQL DIV here: every operand is non-negative
+    w = spark.createDataFrame(
+        [(r["lang"], (all_tok * 1000000) // (n_langs * int(r["lang_tok"])))
+         for r in rows],
+        "lang string, weight_micro long")
+    hexp = _tokhash("spark", "CAST(doc_id AS STRING)")
+    return (tok.join(F.broadcast(w), "lang")
+            .select("doc_id", "lang",
+                    F.col("n_tok").alias("n_tokens"),
+                    "weight_micro",
+                    F.expr("CAST(weight_micro DIV 1000000 + CASE WHEN "
+                           f"({hexp}) % 1000000 < weight_micro % 1000000 "
+                           "THEN 1 ELSE 0 END AS INT)").alias("n_repeats")))
+
+
 # DataFrame twins where Spark's CTE inlining would recompute expensive
 # sketches per UNION branch (oracle SQL unchanged — same result sets), plus
 # the non-SQL entries (streaming gate, HLL rows-only check, mapInPandas
@@ -2834,6 +3117,11 @@ _DF_TWINS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_quality": _host_quality_spark,
     # round 4g: single gram pass instead of CTE re-inline
     "dup_spans": _dup_spans_spark,
+    # round 4h: quantize-once + literal-centroid Lloyd's; single shingle
+    # pass; single token-count pass + broadcast weight join-back
+    "kmeans_embed": _kmeans_embed_spark,
+    "winnowing": _winnowing_spark,
+    "mixture_weights": _mixture_weights_spark,
 }
 
 
