@@ -286,3 +286,48 @@ def test_shard_assign_no_global_sort(spark):
     assert "hashpartitioning" in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+
+
+def test_kmeans_assignment_is_joinless_over_cached_quantized_vecs(spark):
+    """The kmeans_embed twin folds the final assignment map-side against
+    driver-held centroid literals over the PERSISTED quantized vectors: no
+    join of any kind in the returned plan (the plain-SQL unrolled plan runs
+    11 parquet scans and a join per distance round), one InMemoryTableScan,
+    and the scan reads only vec_id+embedding."""
+    from sparkcrawl.queries import queries
+
+    df = queries()["kmeans_embed"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan  # assignment itself never shuffles
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in plan, plan
+
+
+def test_winnowing_single_shingle_pass_hash_stream_only(spark):
+    """The winnowing twin explodes+hashes the text ONCE (persisted hash
+    stream feeds the count, window and short-doc branches — the SQL's g CTE
+    is referenced three times) and shuffles only the 8-byte hash stream:
+    every parquet scan sits under the cache and reads only doc_id+text."""
+    from sparkcrawl.queries import queries
+
+    df = queries()["winnowing"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mixture_weights_one_text_pass_broadcast_joinback(spark):
+    """The mixture_weights twin projects the token counts ONCE (persisted),
+    reads the 5-row language table driver-side, and broadcasts the weights
+    back — no shuffle join, no second text pass."""
+    from sparkcrawl.queries import queries
+
+    df = queries()["mixture_weights"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan, plan
