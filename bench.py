@@ -46,6 +46,8 @@ HEADLINE = [
     # round 4h: integer-fixed-point Lloyd's, winnowing fingerprints,
     # mixture resampling manifest
     "kmeans_embed", "winnowing", "mixture_weights",
+    # round 4i: BM25 retrieval, freshness-driven recrawl scheduling
+    "bm25_search", "recrawl_priority",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))

@@ -1945,6 +1945,100 @@ def _q_mixture_weights(engine: str) -> str:
     """
 
 
+_BM25_TERMS = ("data", "spark", "window")
+
+
+def _q_bm25_search(engine: str) -> str:
+    """BM25 top-20 retrieval over the documents table (Robertson/Sparck
+    Jones probabilistic ranking, the Okapi BM25 formula from the published
+    IR literature; k1=1.2, b=0.75, 3-term query). The idf stays RATIONAL
+    ((N − df + 0.5)/(df + 0.5), no libm ln — the tfidf_top_terms trick) and
+    each per-term score quantizes to micro-units BIGINT before the terms
+    add, so the final score is pure integer arithmetic and Spark ≡ DuckDB
+    bit-exactly. Shape: per-term tf via array filters in ONE projection
+    pass (no token explode, no shuffle), a 1-row corpus-stats aggregate
+    (df per term, total dl), cross-joined back — the DataFrame twin reads
+    the 1-row aggregate driver-side and inlines it as literals, so at
+    100 TB the query is one text pass + one tiny agg + one top-k."""
+    div = "DIV" if engine == "spark" else "//"
+    if engine == "spark":
+        ntok = "size(split(text, ' '))"
+
+        def tf(t: str) -> str:
+            return f"size(filter(split(text, ' '), x -> x = '{t}'))"
+    else:
+        ntok = "len(string_split(text, ' '))"
+
+        def tf(t: str) -> str:
+            return f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+
+    tfs = ", ".join(
+        f"CAST({tf(t)} AS BIGINT) AS tf{i}" for i, t in enumerate(_BM25_TERMS))
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS)))
+    terms = []
+    for i in range(len(_BM25_TERMS)):
+        idf = (f"CAST(ROUND(1000000.0 * (CAST(g.n AS DOUBLE) "
+               f"- CAST(g.df{i} AS DOUBLE) + 0.5) "
+               f"/ (CAST(g.df{i} AS DOUBLE) + 0.5)) AS BIGINT)")
+        tfn = (f"CAST(ROUND(1000000.0 * CAST(d.tf{i} AS DOUBLE) * 2.2 "
+               f"/ (CAST(d.tf{i} AS DOUBLE) + 1.2 * (0.25 "
+               f"+ 0.75 * CAST(d.dl AS DOUBLE) "
+               f"/ (CAST(g.tot_dl AS DOUBLE) / CAST(g.n AS DOUBLE))))) "
+               "AS BIGINT)")
+        terms.append(f"(({idf}) * ({tfn}) {div} 1000000)")
+    score = " + ".join(terms)
+    return f"""
+      WITH d AS (SELECT doc_id, CAST({ntok} AS BIGINT) AS dl, {tfs}
+                 FROM documents),
+      g AS (SELECT COUNT(*) AS n, SUM(dl) AS tot_dl, {dfs} FROM d)
+      SELECT doc_id, dl, score_micro, rk FROM (
+        SELECT d.doc_id, d.dl, {score} AS score_micro,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY {score} DESC, d.doc_id ASC) AS INT) AS rk
+        FROM d CROSS JOIN g) t
+      WHERE rk <= 20
+    """
+
+
+def _q_recrawl_priority(engine: str) -> str:
+    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina 2003's
+    change-rate-proportional policy, reimplemented from the published
+    model): per entity, estimate the observed change rate λ from its event
+    history ((n−1) changes over the first→last span), then priority =
+    age · λ — the expected number of changes missed since the last
+    observation. In the crawl this scores the seen table for re-enqueue
+    after seen-TTL forgetting (rounds.forget_seen); here the events table
+    is the fetch/change history and user_id the entity. All arithmetic is
+    integer micro-units over epoch-µs timestamps (rate_micro ≤ ~4e13,
+    priority ≤ ~2e12 — overflow-safe BIGINT), so Spark ≡ DuckDB
+    bit-exactly. One groupBy shuffle + a 1-row now() aggregate; the
+    entity-history aggregate is the only pass over the table."""
+    div = "DIV" if engine == "spark" else "//"
+    us = _micros(engine, "ts")
+    return f"""
+      WITH hist AS (
+        SELECT user_id, COUNT(*) AS n_obs,
+               MIN({us}) AS first_us, MAX({us}) AS last_us
+        FROM events GROUP BY user_id),
+      g AS (SELECT MAX(last_us) AS now_us FROM hist)
+      SELECT user_id, n_obs,
+             (g.now_us - last_us) {div} 1000000 AS age_s,
+             CAST(CASE WHEN last_us - first_us >= 1000000
+                  THEN ((n_obs - 1) * 86400 * 1000000)
+                       {div} ((last_us - first_us) {div} 1000000)
+                  ELSE 0 END AS BIGINT) AS rate_micro,
+             CAST(CASE WHEN last_us - first_us >= 1000000
+                  THEN (((g.now_us - last_us) {div} 1000000)
+                        * (((n_obs - 1) * 86400 * 1000000)
+                           {div} ((last_us - first_us) {div} 1000000)))
+                       {div} 86400
+                  ELSE 0 END AS BIGINT) AS priority_micro
+      FROM hist CROSS JOIN g
+    """
+
+
 _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "seen_antijoin": _q_seen_antijoin,
     "perhost_topk": _q_perhost_topk,
@@ -2013,6 +2107,8 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "kmeans_embed": _q_kmeans_embed,
     "winnowing": _q_winnowing,
     "mixture_weights": _q_mixture_weights,
+    "bm25_search": _q_bm25_search,
+    "recrawl_priority": _q_recrawl_priority,
     "embed_norms": _q_embed_norms,
     "event_pivot": _q_event_pivot,
     "multimodal_bytes": _q_multimodal_bytes,
@@ -2789,6 +2885,13 @@ _DEFERRED_PAST_DRIVER_WINDOW = [
     # hash-fingerprint family stays via dup_spans, paragraph_dedup and
     # winnowing itself
     "token_stats", "langid", "doc_fingerprint",
+    # round 4i: two more rounds-1–3-green shapes overflow to make room for
+    # bm25_search / recrawl_priority (both new, no driver history):
+    # top_terms' term-frequency ranking is the in-window tfidf_top_terms
+    # minus the idf weighting; ann_bruteforce's exact-cosine top-k formula
+    # runs verbatim inside the in-window ann_ivf_multiprobe's verify stage
+    # (bruteforce exists as the recall baseline, not a distinct shape)
+    "top_terms", "ann_bruteforce",
 ]
 
 def _paragraph_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3086,6 +3189,56 @@ def _mixture_weights_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "THEN 1 ELSE 0 END AS INT)").alias("n_repeats")))
 
 
+def _bm25_search_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame twin of the shared SQL: the d CTE feeds both the corpus
+    # stats and the scoring side, so the inlined plan would split the text
+    # 8× across two passes. Split ONCE into a persisted slim (doc_id, dl,
+    # tf0..tf2) projection, read the 1-row stats aggregate driver-side, and
+    # inline n/df/avgdl as LITERALS in the scoring expression — textually
+    # identical ROUND/division formula as the shared SQL, so Spark computes
+    # the same doubles and the result stays bit-exact vs DuckDB. At 100 TB:
+    # one text pass, one tiny agg, one top-k — no join at all.
+    from pyspark.sql import functions as F
+
+    release_cached()
+    register_views(spark, sf_dir)
+    tf_cols = [
+        F.expr(f"CAST(size(filter(w, x -> x = '{t}')) AS BIGINT)")
+        .alias(f"tf{i}")
+        for i, t in enumerate(_BM25_TERMS)]
+    d = _persist_tracked(
+        spark.table("documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id",
+                F.expr("CAST(size(w) AS BIGINT)").alias("dl"), *tf_cols))
+    g = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot_dl"),
+        *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+          for i in range(len(_BM25_TERMS))]).collect()[0]
+    n, tot_dl = int(g["n"]), int(g["tot_dl"])
+    terms = []
+    for i in range(len(_BM25_TERMS)):
+        dfi = int(g[f"df{i}"])
+        # same expression text as _q_bm25_search with g.* replaced by
+        # integer literals — ROUND and the divisions stay engine-side
+        idf = (f"CAST(ROUND(1000000.0 * (CAST({n} AS DOUBLE) "
+               f"- CAST({dfi} AS DOUBLE) + 0.5) "
+               f"/ (CAST({dfi} AS DOUBLE) + 0.5)) AS BIGINT)")
+        tfn = (f"CAST(ROUND(1000000.0 * CAST(tf{i} AS DOUBLE) * 2.2 "
+               f"/ (CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 "
+               f"+ 0.75 * CAST(dl AS DOUBLE) "
+               f"/ (CAST({tot_dl} AS DOUBLE) / CAST({n} AS DOUBLE))))) "
+               "AS BIGINT)")
+        terms.append(f"(({idf}) * ({tfn}) DIV 1000000)")
+    score = " + ".join(terms)
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (d.select("doc_id", "dl", F.expr(score).alias("score_micro"))
+            .select("doc_id", "dl", "score_micro",
+                    F.row_number().over(w).cast("int").alias("rk"))
+            .filter(F.col("rk") <= 20))
+
+
 # DataFrame twins where Spark's CTE inlining would recompute expensive
 # sketches per UNION branch (oracle SQL unchanged — same result sets), plus
 # the non-SQL entries (streaming gate, HLL rows-only check, mapInPandas
@@ -3122,6 +3275,8 @@ _DF_TWINS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_embed": _kmeans_embed_spark,
     "winnowing": _winnowing_spark,
     "mixture_weights": _mixture_weights_spark,
+    # round 4i: split-once projection + driver-side 1-row stats as literals
+    "bm25_search": _bm25_search_spark,
 }
 
 

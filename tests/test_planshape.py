@@ -331,3 +331,17 @@ def test_mixture_weights_one_text_pass_broadcast_joinback(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan, plan
+
+
+def test_bm25_single_text_pass_no_join(spark):
+    """The bm25_search twin splits the text ONCE (persisted slim tf
+    projection) and inlines the 1-row corpus stats as literals: no join of
+    any kind in the scoring plan — the shared SQL's CROSS JOIN g attaches
+    the stats via a nested loop and re-splits the text per tf column."""
+    from sparkcrawl.queries import queries
+
+    df = queries()["bm25_search"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "Join" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan

@@ -74,6 +74,8 @@ def test_driver_window_holds_every_entry_needing_a_green_row():
         "pii_redact", "dup_spans", "shard_assign", "semdedup",
         # round 4h additions — no driver history yet
         "kmeans_embed", "winnowing", "mixture_weights",
+        # round 4i additions — no driver history yet
+        "bm25_search", "recrawl_priority",
     }
     assert must_be_checked <= window, sorted(must_be_checked - window)
     # Only rounds-1–3-green shapes may overflow: every TPC-H query, plus the
@@ -81,9 +83,10 @@ def test_driver_window_holds_every_entry_needing_a_green_row():
     # _DEFERRED_PAST_DRIVER_WINDOW in queries.py).
     subsumed_green = {"minhash_signatures", "ann_ivf", "window_hourly",
                       "sessionize",
-                      # round 4h overflow (r1–r3 green, families kept
+                      # round 4h/4i overflow (r1–r3 green, families kept
                       # in-window — rationale at _DEFERRED_PAST_DRIVER_WINDOW)
-                      "token_stats", "langid", "doc_fingerprint"}
+                      "token_stats", "langid", "doc_fingerprint",
+                      "top_terms", "ann_bruteforce"}
     overflow = set(order[50:])
     assert all(
         n.startswith("tpch_") or n in subsumed_green for n in overflow
@@ -110,7 +113,8 @@ def test_query_matches_oracle(spark, duck, name):
                                   "minhash_signatures", "paragraph_dedup",
                                   "lm_perplexity", "tfidf_top_terms",
                                   "dsir_weights", "dup_spans", "pii_redact",
-                                  "winnowing", "mixture_weights"])
+                                  "winnowing", "mixture_weights",
+                                  "bm25_search"])
 def test_text_queries_survive_short_documents(spark, duck, name):
     """Spark's sequence(1, n) DESCENDS when n < 1, so an unguarded shingle/
     chunk explode crashes on 1-2-token documents (element_at(…, 0)). Every
