@@ -48,6 +48,8 @@ HEADLINE = [
     "kmeans_embed", "winnowing", "mixture_weights",
     # round 4i: BM25 retrieval, freshness-driven recrawl scheduling
     "bm25_search", "recrawl_priority",
+    # round 4j: applyInPandasWithState running totals
+    "stream_stateful_totals",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))

@@ -2824,6 +2824,74 @@ _STREAM_WINDOW_COUNTS_ORACLE = """
 """
 
 
+def _stream_stateful_totals_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 custom stateful streaming, driver-gated: an applyInPandasWithState
+    operator carrying per-user running totals (event count + integer-cents
+    value sum) across microbatches must end at the batch GROUP BY totals
+    (the DuckDB oracle) — the driver-visible twin of
+    streaming.stateful_host_progress (pytest-only until now). Update mode
+    emits one row per key per microbatch, so the drained table is a
+    batching-dependent PREFIX history; the totals are monotone (counts
+    always, cents because value > 0 in this table), so MAX per key
+    recovers the final state deterministically under ANY batch split.
+    Cents quantize JVM-side (ROUND(value*100) BEFORE the pandas worker —
+    numpy rounds half-to-even, SQL half-away-from-zero)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_events", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ])
+
+    def update(key, pdf_iter, state: GroupState):
+        n = 0
+        cents = 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        if state.exists:
+            pn, pc = state.get
+        else:
+            pn, pc = 0, 0
+        state.update((pn + n, pc + cents))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_events": [pn + n], "cents": [pc + cents]})
+
+    def transform(s: DataFrame) -> DataFrame:
+        return (
+            s.select("user_id", "ts",
+                     F.round(F.col("value") * 100).cast("bigint")
+                     .alias("cents"))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "update",
+                GroupStateTimeout.NoTimeout)
+        )
+
+    drained = _drain_available_now(
+        spark, sf_dir, "stream_stateful_", transform, output_mode="update")
+    return (drained.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 (F.max("cents").cast("double") / F.lit(100.0))
+                 .alias("sum_value")))
+
+
+_STREAM_STATEFUL_TOTALS_ORACLE = """
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS sum_value
+  FROM events GROUP BY user_id
+"""
+
+
 def _approx_users_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A6 approximate distinct — non-SQL-exact (HLL), rows-only driver check
     from pyspark.sql import functions as F
@@ -2892,6 +2960,11 @@ _DEFERRED_PAST_DRIVER_WINDOW = [
     # runs verbatim inside the in-window ann_ivf_multiprobe's verify stage
     # (bruteforce exists as the recall baseline, not a distinct shape)
     "top_terms", "ann_bruteforce",
+    # round 4j: stratified_sample (r1–r3 green) overflows to make room for
+    # stream_stateful_totals — its hash-mod sampling primitive runs
+    # verbatim inside the in-window shard_assign (TOKHASH % shards) and
+    # mixture_weights (hash-fraction Bernoulli)
+    "stratified_sample",
 ]
 
 def _paragraph_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3257,6 +3330,8 @@ _DF_TWINS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": _stream_dedup_spark,
     # §2.10 streaming gate: watermark + tumbling-window agg ≡ batch GROUP BY
     "stream_window_counts": _stream_window_counts_spark,
+    # §2.10 streaming gate: applyInPandasWithState running totals ≡ batch
+    "stream_stateful_totals": _stream_stateful_totals_spark,
     # multimodal decode → persisted feature index → IVF probe, end to end
     "media_ann": _media_ann_spark,
     # round 4: single text pass / single edge build instead of CTE re-inline
@@ -3302,6 +3377,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_components"] = _q_dedup_components_oracle()
     out["stream_dedup"] = _STREAM_DEDUP_ORACLE
     out["stream_window_counts"] = _STREAM_WINDOW_COUNTS_ORACLE
+    out["stream_stateful_totals"] = _STREAM_STATEFUL_TOTALS_ORACLE
     out["media_ann"] = _MEDIA_ANN_ORACLE
     # approx_users: HLL estimate — intentionally no oracle (rows-only check)
     return out

@@ -76,6 +76,8 @@ def test_driver_window_holds_every_entry_needing_a_green_row():
         "kmeans_embed", "winnowing", "mixture_weights",
         # round 4i additions — no driver history yet
         "bm25_search", "recrawl_priority",
+        # round 4j addition — no driver history yet
+        "stream_stateful_totals",
     }
     assert must_be_checked <= window, sorted(must_be_checked - window)
     # Only rounds-1–3-green shapes may overflow: every TPC-H query, plus the
@@ -86,7 +88,7 @@ def test_driver_window_holds_every_entry_needing_a_green_row():
                       # round 4h/4i overflow (r1–r3 green, families kept
                       # in-window — rationale at _DEFERRED_PAST_DRIVER_WINDOW)
                       "token_stats", "langid", "doc_fingerprint",
-                      "top_terms", "ann_bruteforce"}
+                      "top_terms", "ann_bruteforce", "stratified_sample"}
     overflow = set(order[50:])
     assert all(
         n.startswith("tpch_") or n in subsumed_green for n in overflow
