@@ -50,6 +50,8 @@ HEADLINE = [
     "bm25_search", "recrawl_priority",
     # round 4j: applyInPandasWithState running totals
     "stream_stateful_totals",
+    # round 4k: as-of join (window formulation), bucketed range join
+    "asof_join", "range_join",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))

@@ -345,3 +345,32 @@ def test_bm25_single_text_pass_no_join(spark):
     assert "InMemoryTableScan" in plan, plan
     assert "Join" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_asof_join_is_one_window_no_range_join(spark):
+    """The as-of join must plan as the union-tag + running-MAX window (one
+    Window node, equi-join back for the payload) — never a per-row
+    inequality probe: Spark plans a non-equi join condition as
+    BroadcastNestedLoopJoin, O(n·m) at the design point."""
+    from sparkcrawl.queries import queries
+
+    df = queries()["asof_join"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # formatted explain = tree line + detail block per node: exactly one
+    # Window node (the running MAX over purchase timestamps)
+    assert 1 <= plan.count("Window") <= 2, plan
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """The Spark side of range_join must run the time-bucketed formulation:
+    every join is an equi-join on (user_id, bin) / p_event_id — no
+    nested-loop or cartesian node anywhere (the naive inequality join the
+    DuckDB oracle runs would plan as BroadcastNestedLoopJoin on Spark)."""
+    from sparkcrawl.queries import queries
+
+    df = queries()["range_join"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -78,6 +78,8 @@ def test_driver_window_holds_every_entry_needing_a_green_row():
         "bm25_search", "recrawl_priority",
         # round 4j addition — no driver history yet
         "stream_stateful_totals",
+        # round 4k additions — no driver history yet
+        "asof_join", "range_join",
     }
     assert must_be_checked <= window, sorted(must_be_checked - window)
     # Only rounds-1–3-green shapes may overflow: every TPC-H query, plus the
@@ -88,7 +90,8 @@ def test_driver_window_holds_every_entry_needing_a_green_row():
                       # round 4h/4i overflow (r1–r3 green, families kept
                       # in-window — rationale at _DEFERRED_PAST_DRIVER_WINDOW)
                       "token_stats", "langid", "doc_fingerprint",
-                      "top_terms", "ann_bruteforce", "stratified_sample"}
+                      "top_terms", "ann_bruteforce", "stratified_sample",
+                      "dedup_exact", "repetition_ratio"}
     overflow = set(order[50:])
     assert all(
         n.startswith("tpch_") or n in subsumed_green for n in overflow
@@ -143,3 +146,26 @@ def test_text_queries_survive_short_documents(spark, duck, name):
             _rowset(dcols, drows), name
     finally:
         spark.catalog.dropTempView("documents")
+
+
+def test_asof_join_oracle_equals_duckdb_native_asof(duck):
+    """The portable as-of formulation (union-tag + running MAX + payload
+    join-back) is pinned against DuckDB's NATIVE `ASOF LEFT JOIN` — the
+    independent reference implementation of the semantics: latest purchase
+    with p.ts <= v.ts per user, -1 sentinels when none exists."""
+    native = duck.execute("""
+        SELECT v.event_id AS v_event_id, v.user_id AS user_id,
+               COALESCE(p.event_id, CAST(-1 AS BIGINT)) AS p_event_id,
+               COALESCE(epoch_us(v.ts) - epoch_us(p.ts),
+                        CAST(-1 AS BIGINT)) AS gap_us,
+               COALESCE(CAST(ROUND(p.value * 100) AS BIGINT),
+                        CAST(-1 AS BIGINT)) AS p_cents
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        ASOF LEFT JOIN
+             (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id AND v.ts >= p.ts
+    """).fetchall()
+    portable = duck.execute(O["asof_join"]).fetchall()
+    assert sorted(portable) == sorted(native)
+    assert any(r[2] == -1 for r in portable)      # some views precede any purchase
+    assert any(r[2] != -1 for r in portable)      # and most have a match
