@@ -2039,6 +2039,88 @@ def _q_recrawl_priority(engine: str) -> str:
     """
 
 
+def _q_quality_classifier(engine: str) -> str:
+    """Linear quality-classifier INFERENCE over the documents table — the
+    model-scoring pass every modern pretraining pipeline runs (fastText
+    linear classifiers, Joulin et al. 2016; FineWeb-Edu / DCLM filter by a
+    learned quality score, Penedo et al. 2024 / Li et al. 2024). Features
+    are hashed bag-of-words (the fastText hashing trick): each token hashes
+    into one of 64 buckets, each bucket carries a fixed integer weight in
+    [0, 200] milli-units — a deterministic stand-in for trained weights
+    (in production the weight vector is a tiny broadcast array; the
+    arithmetic shape is identical). The document score is the mean token
+    weight (fastText mean-pooling), kept in BIGINT milli-units with the
+    centering bias subtracted AFTER the integer division so every operand
+    stays non-negative (Spark DIV truncates toward zero, DuckDB // floors —
+    they only agree on non-negative operands). keep = score >= 0 is the
+    filter decision. Scale shape: ONE projection pass over text (the
+    per-token lambda runs inside whole-stage codegen / a vectorized DuckDB
+    list kernel), no explode, no shuffle, no UDF — at 100 TB this is a
+    map-only scan."""
+    if engine == "spark":
+        toks = "split(text, ' ')"
+        tokh = "cast(conv(substr(md5(x),1,15),16,10) as bigint)"
+        sum_w = (f"aggregate({toks}, 0L, "
+                 f"(acc, x) -> acc + ((({tokh}) % 64) * 37 + 11) % 201)")
+        ntok = f"size({toks})"
+    else:
+        toks = "string_split(text, ' ')"
+        tokh = "('0x'||substr(md5(x),1,15))::BIGINT"
+        sum_w = (f"CAST(list_aggregate(list_transform({toks}, "
+                 f"x -> ((({tokh}) % 64) * 37 + 11) % 201), 'sum') AS BIGINT)")
+        ntok = f"len({toks})"
+    div = "DIV" if engine == "spark" else "//"
+    return f"""
+      WITH f AS (SELECT doc_id, lang, CAST({ntok} AS BIGINT) AS n_tokens,
+                        {sum_w} AS sum_w
+                 FROM documents)
+      SELECT doc_id, lang, n_tokens,
+             CAST((1000 * sum_w) {div} n_tokens AS BIGINT) - 100000
+               AS score_milli,
+             CAST(CASE WHEN (1000 * sum_w) {div} n_tokens >= 100000
+                  THEN 1 ELSE 0 END AS INT) AS keep
+      FROM f
+    """
+
+
+_BADWORDS = ("slow", "junk", "spam")
+
+
+def _q_badwords_filter(engine: str) -> str:
+    """C4-style blocklist filtering (Raffel et al. 2020 dropped any page
+    containing a "List of Dirty, Naughty …" word; RefinedWeb and FineWeb
+    keep the same stage with fraction thresholds). Per document: count
+    tokens that hit the blocklist, the blocklist fraction in milli-units,
+    and the drop decision — flagged when ANY blocklist token appears AND
+    the fraction clears 40‰ (the fraction guard keeps long documents with
+    one incidental hit, the RefinedWeb refinement of C4's drop-on-any).
+    The blocklist is a 3-token stand-in inlined as array literals — in
+    production it is a few-thousand-entry broadcast set; the shape (array
+    membership inside one projection pass) is identical. Scale: map-only
+    single text pass, no explode, no shuffle, no UDF."""
+    lst = ", ".join(f"'{w}'" for w in _BADWORDS)
+    if engine == "spark":
+        toks = "split(text, ' ')"
+        bad = (f"size(filter({toks}, x -> array_contains(array({lst}), x)))")
+        ntok = f"size({toks})"
+    else:
+        toks = "string_split(text, ' ')"
+        bad = (f"len(list_filter({toks}, x -> list_contains([{lst}], x)))")
+        ntok = f"len({toks})"
+    div = "DIV" if engine == "spark" else "//"
+    return f"""
+      WITH f AS (SELECT doc_id, CAST({ntok} AS BIGINT) AS n_tokens,
+                        CAST({bad} AS BIGINT) AS bad_count
+                 FROM documents)
+      SELECT doc_id, n_tokens, bad_count,
+             CAST((1000 * bad_count) {div} n_tokens AS BIGINT) AS bad_milli,
+             CAST(CASE WHEN bad_count > 0
+                        AND (1000 * bad_count) {div} n_tokens >= 40
+                  THEN 1 ELSE 0 END AS INT) AS flagged
+      FROM f
+    """
+
+
 def _q_asof_join(engine: str) -> str:
     """As-of join — each 'view' event matched to the same user's most recent
     prior-or-equal 'purchase' (the operator Spark's DataFrame API lacks;
@@ -2209,6 +2291,10 @@ _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "mixture_weights": _q_mixture_weights,
     "bm25_search": _q_bm25_search,
     "recrawl_priority": _q_recrawl_priority,
+    # round 4l: model-inference filtering (fastText/FineWeb-Edu scorer) and
+    # C4/RefinedWeb blocklist filtering — both map-only single text passes
+    "quality_classifier": _q_quality_classifier,
+    "badwords_filter": _q_badwords_filter,
     "embed_norms": _q_embed_norms,
     "event_pivot": _q_event_pivot,
     "multimodal_bytes": _q_multimodal_bytes,
@@ -3072,6 +3158,13 @@ _DEFERRED_PAST_DRIVER_WINDOW = [
     # dup_spans (exact repeated-span detection) and filter_funnel's
     # unique-token-ratio stage
     "dedup_exact", "repetition_ratio",
+    # round 4l: depth_histogram / union_distinct (r1–r3 green) overflow to
+    # make room for quality_classifier / badwords_filter — the groupBy-count
+    # histogram shape stays in-window via status_counts (identical shape
+    # over the same pipeline snapshot) and length_percentiles; the
+    # union-then-distinct shape runs verbatim inside the in-window
+    # asof_join (union-tagged streams) and paragraph_dedup's distinct
+    "depth_histogram", "union_distinct",
 ]
 
 def _paragraph_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

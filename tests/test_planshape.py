@@ -374,3 +374,22 @@ def test_range_join_is_bucketed_equi_join(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["quality_classifier", "badwords_filter"])
+def test_filter_passes_are_map_only(spark, name):
+    """quality_classifier and badwords_filter are the pipeline's model-
+    inference / blocklist filter stages: ONE whole-stage-codegen projection
+    over (doc_id[, lang], text) — no Exchange, no Join, no explode
+    (Generate), and the parquet scan prunes to the consumed columns."""
+    from sparkcrawl.queries import queries
+
+    df = queries()[name](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    # formatted explain marks codegen per node; the higher-order aggregate
+    # lambda itself is interpreted, but the surrounding stages must codegen
+    assert "[codegen id :" in plan, plan
+    assert "text:string" in plan and "html" not in plan, plan

@@ -80,6 +80,8 @@ def test_driver_window_holds_every_entry_needing_a_green_row():
         "stream_stateful_totals",
         # round 4k additions — no driver history yet
         "asof_join", "range_join",
+        # round 4l additions — no driver history yet
+        "quality_classifier", "badwords_filter",
     }
     assert must_be_checked <= window, sorted(must_be_checked - window)
     # Only rounds-1–3-green shapes may overflow: every TPC-H query, plus the
@@ -91,7 +93,10 @@ def test_driver_window_holds_every_entry_needing_a_green_row():
                       # in-window — rationale at _DEFERRED_PAST_DRIVER_WINDOW)
                       "token_stats", "langid", "doc_fingerprint",
                       "top_terms", "ann_bruteforce", "stratified_sample",
-                      "dedup_exact", "repetition_ratio"}
+                      "dedup_exact", "repetition_ratio",
+                      # round 4l overflow (r1–r3 green; rationale at
+                      # _DEFERRED_PAST_DRIVER_WINDOW in queries.py)
+                      "depth_histogram", "union_distinct"}
     overflow = set(order[50:])
     assert all(
         n.startswith("tpch_") or n in subsumed_green for n in overflow
@@ -119,7 +124,8 @@ def test_query_matches_oracle(spark, duck, name):
                                   "lm_perplexity", "tfidf_top_terms",
                                   "dsir_weights", "dup_spans", "pii_redact",
                                   "winnowing", "mixture_weights",
-                                  "bm25_search"])
+                                  "bm25_search", "quality_classifier",
+                                  "badwords_filter"])
 def test_text_queries_survive_short_documents(spark, duck, name):
     """Spark's sequence(1, n) DESCENDS when n < 1, so an unguarded shingle/
     chunk explode crashes on 1-2-token documents (element_at(…, 0)). Every
