@@ -52,8 +52,9 @@ HEADLINE = [
     "stream_stateful_totals",
     # round 4k: as-of join (window formulation), bucketed range join
     "asof_join", "range_join",
-    # round 4l: model-inference quality filter, C4-style blocklist filter
-    "quality_classifier", "badwords_filter",
+    # round 4l: model-inference quality filter, C4-style blocklist filter,
+    # product-quantization ANN (persisted codes/codebook index + ADC)
+    "quality_classifier", "badwords_filter", "ann_pq",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))

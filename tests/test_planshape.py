@@ -393,3 +393,22 @@ def test_filter_passes_are_map_only(spark, name):
     # lambda itself is interpreted, but the surrounding stages must codegen
     assert "[codegen id :" in plan, plan
     assert "text:string" in plan and "html" not in plan, plan
+
+
+def test_ann_pq_probes_persisted_index_distributed_topk(spark):
+    """The PQ probe must scan the persisted codes/codebook parquet (the
+    full-embeddings explode lives in the one-time index build) and select
+    its ADC short-list via TakeOrderedAndProject (distributed top-k) — a
+    global ROW_NUMBER window here would single-partition-sort every
+    vector's ADC score at the design point."""
+    from sparkcrawl.queries import queries
+
+    df = queries()["ann_pq"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "sparkcrawl_pq_" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # formatted explain names each node twice (tree + detail); Spark inlines
+    # the query-vector CTE into both the dtab and re-rank legs, so ≤ 3
+    # Generate nodes — 1-row query explodes plus the 32-candidate explode,
+    # never the full embeddings table
+    assert plan.count("Generate") <= 6, plan

@@ -81,7 +81,7 @@ def test_driver_window_holds_every_entry_needing_a_green_row():
         # round 4k additions — no driver history yet
         "asof_join", "range_join",
         # round 4l additions — no driver history yet
-        "quality_classifier", "badwords_filter",
+        "quality_classifier", "badwords_filter", "ann_pq",
     }
     assert must_be_checked <= window, sorted(must_be_checked - window)
     # Only rounds-1–3-green shapes may overflow: every TPC-H query, plus the
@@ -96,7 +96,8 @@ def test_driver_window_holds_every_entry_needing_a_green_row():
                       "dedup_exact", "repetition_ratio",
                       # round 4l overflow (r1–r3 green; rationale at
                       # _DEFERRED_PAST_DRIVER_WINDOW in queries.py)
-                      "depth_histogram", "union_distinct"}
+                      "depth_histogram", "union_distinct",
+                      "intersect_users"}
     overflow = set(order[50:])
     assert all(
         n.startswith("tpch_") or n in subsumed_green for n in overflow
