@@ -193,6 +193,11 @@ def main() -> None:
                 "metric": "headline_suite_plus_crawl",
                 "value": total,
                 "unit": "sec",
+                # suite size varies round-over-round as coverage widens —
+                # compare totals only after normalizing on suite_n /
+                # queries_wall_sec (BENCH_r03 ran 40 queries, r04 runs 43)
+                "suite_n": len(HEADLINE),
+                "queries_wall_sec": round(sum(timings.values()), 3),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "crawl": crawl,
