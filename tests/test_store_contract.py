@@ -163,3 +163,36 @@ def test_iceberg_adapter_seam(spark):
     s3 = store.append("t_contract", _df(spark, [(9, "z")]), parent=None)
     got = {r["k"] for r in store.read(spark, "t_contract", s3).collect()}
     assert got == {9}
+
+
+def test_diff_between_rounds(spark, store):
+    """sparkcrawl.diff: key-only anti-join diff between two committed round
+    boundaries — appends surface as added rows, overwrites as added+removed,
+    and the key is inferred from the schema (url here)."""
+    from sparkcrawl.diff import diff_table, infer_key
+
+    def rows(*urls):
+        return spark.createDataFrame([(u, len(u)) for u in urls],
+                                     "url string, depth int")
+
+    s1 = store.append("f", rows("a", "b"))
+    store.commit_round(1, {"f": s1})
+    s2 = store.append("f", rows("c"))
+    store.commit_round(2, {"f": s2})
+    s3 = store.overwrite("f", rows("b", "c", "d"))
+    store.commit_round(3, {"f": s3})
+
+    added, removed, key = diff_table(spark, store, "f", 1, 2)
+    assert key == ["url"]
+    assert sorted(r.url for r in added.collect()) == ["c"]
+    assert removed.count() == 0
+
+    added, removed, _ = diff_table(spark, store, "f", 2, 3)
+    assert sorted(r.url for r in added.collect()) == ["d"]
+    assert sorted(r.url for r in removed.collect()) == ["a"]
+
+    # explicit multi-column key + unknown column rejection
+    added, _, key = diff_table(spark, store, "f", 1, 3, key=["url", "depth"])
+    assert key == ["url", "depth"]
+    with pytest.raises(SystemExit):
+        infer_key(rows("x").select("depth"), None)
