@@ -409,6 +409,6 @@ def test_ann_pq_probes_persisted_index_distributed_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
     # formatted explain names each node twice (tree + detail); Spark inlines
     # the query-vector CTE into both the dtab and re-rank legs, so ≤ 3
-    # Generate nodes — 1-row query explodes plus the 32-candidate explode,
+    # Generate nodes — 1-row query explodes plus the 64-candidate explode,
     # never the full embeddings table
     assert plan.count("Generate") <= 6, plan
