@@ -2553,11 +2553,33 @@ def _pq_index_path(spark: SparkSession, sf_dir: str) -> str:
     path = "/dev/shm/sparkcrawl_pq_" + hashlib.md5(ident.encode()).hexdigest()[:12]
     if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
         spark.read.parquet(src).createOrReplaceTempView("embeddings")
-        cte = _pq_cte("spark")
-        spark.sql(f"WITH {cte} SELECT cid, dim, c FROM c1").coalesce(1) \
-            .write.mode("overwrite").parquet(os.path.join(path, "codebook"))
-        spark.sql(f"WITH {cte} SELECT vec_id, sub, code FROM codes") \
+        # train once (write the codebook), then encode FROM the persisted
+        # codebook — running the full _pq_cte twice would redo the Lloyd
+        # training for the codes table; encoding against the written
+        # codebook is bit-identical (same centroid values) and halves the
+        # build. The encode CTEs below are d2t/codes from _pq_cte with the
+        # inline c1 swapped for the persisted table.
+        spark.sql(f"WITH {_pq_cte('spark')} SELECT cid, dim, c FROM c1") \
             .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "codebook"))
+        spark.read.parquet(os.path.join(path, "codebook")) \
+            .createOrReplaceTempView("pq_codebook_build")
+        spark.sql(f"""
+          WITH ev AS ({_kmeans_explode('spark')}),
+          sv AS (SELECT vec_id, dim, CAST(dim DIV 4 AS INT) AS sub, v
+                 FROM ev),
+          d2t AS (
+            SELECT e.vec_id, e.sub, c.cid,
+                   CAST(SUM((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS d2
+            FROM sv e JOIN pq_codebook_build c ON c.dim = e.dim
+            GROUP BY e.vec_id, e.sub, c.cid)
+          SELECT vec_id, sub, cid AS code FROM (
+            SELECT vec_id, sub, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2 ASC, cid ASC) AS rk
+            FROM d2t) t
+          WHERE rk = 1
+        """).coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(path, "codes"))
     _PQ_INDEX_CACHE[sf_dir] = path
     return path
