@@ -84,8 +84,15 @@ def main() -> None:
     if len(rounds) < 2 and (args.from_round is None or args.to_round is None):
         raise SystemExit(f"need two committed rounds, store has {rounds}")
     r_to = args.to_round if args.to_round is not None else rounds[-1]
-    r_from = args.from_round if args.from_round is not None else (
-        rounds[rounds.index(r_to) - 1] if r_to in rounds else rounds[-2])
+    if args.from_round is not None:
+        r_from = args.from_round
+    else:
+        pos = rounds.index(r_to) if r_to in rounds else len(rounds) - 1
+        if pos == 0:
+            raise SystemExit(
+                f"round {r_to} is the earliest committed round ({rounds}); "
+                "pass --from-round explicitly")
+        r_from = rounds[pos - 1]
     key = args.key.split(",") if args.key else None
 
     spark = get_spark(cores=args.cores)
