@@ -47,14 +47,24 @@ def diff_table(
     round_to: int,
     key: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, list[str]]:
-    """(added, removed, key_cols): rows whose key exists only in the later /
-    only in the earlier snapshot. Key-only projections so the anti-joins
-    shuffle nothing but the keys."""
-    before = store.read_at_round(spark, table, round_from)
-    after = store.read_at_round(spark, table, round_to)
+    """(added, removed, key_cols): KEYS present only in the later / only in
+    the earlier snapshot — set semantics (distinct), so a key repeated in
+    one snapshot still counts and prints once. Key-only projections so the
+    anti-joins shuffle nothing but the keys."""
+    try:
+        before = store.read_at_round(spark, table, round_from)
+        after = store.read_at_round(spark, table, round_to)
+    except FileNotFoundError:
+        raise SystemExit(
+            f"no manifest for round {round_from} or {round_to}; "
+            f"committed rounds: {store.committed_rounds()}") from None
+    except KeyError:
+        raise SystemExit(
+            f"table {table!r} is not part of both round manifests "
+            f"{round_from} and {round_to}") from None
     key_cols = infer_key(after, key)
-    b = before.select(*key_cols)
-    a = after.select(*key_cols)
+    b = before.select(*key_cols).distinct()
+    a = after.select(*key_cols).distinct()
     return (
         a.join(b, key_cols, "left_anti"),
         b.join(a, key_cols, "left_anti"),
@@ -84,10 +94,13 @@ def main() -> None:
     if len(rounds) < 2 and (args.from_round is None or args.to_round is None):
         raise SystemExit(f"need two committed rounds, store has {rounds}")
     r_to = args.to_round if args.to_round is not None else rounds[-1]
+    if r_to not in rounds:
+        raise SystemExit(
+            f"round {r_to} is not committed; committed rounds: {rounds}")
     if args.from_round is not None:
         r_from = args.from_round
     else:
-        pos = rounds.index(r_to) if r_to in rounds else len(rounds) - 1
+        pos = rounds.index(r_to)
         if pos == 0:
             raise SystemExit(
                 f"round {r_to} is the earliest committed round ({rounds}); "
@@ -99,6 +112,9 @@ def main() -> None:
     try:
         added, removed, key_cols = diff_table(
             spark, store, args.table, r_from, r_to, key)
+        # persist before count: count + sample would otherwise each rerun
+        # the full anti-join shuffle
+        added, removed = added.persist(), removed.persist()
         n_add, n_rm = added.count(), removed.count()
         print(f"{args.table} round {r_from} -> {r_to} "
               f"(key={','.join(key_cols)}): +{n_add} -{n_rm}")

@@ -2152,15 +2152,14 @@ def _q_quality_classifier(engine: str) -> str:
     per-token lambda runs inside whole-stage codegen / a vectorized DuckDB
     list kernel), no explode, no shuffle, no UDF — at 100 TB this is a
     map-only scan."""
+    tokh = _tokhash(engine, "x")
     if engine == "spark":
         toks = "split(text, ' ')"
-        tokh = "cast(conv(substr(md5(x),1,15),16,10) as bigint)"
         sum_w = (f"aggregate({toks}, 0L, "
                  f"(acc, x) -> acc + ((({tokh}) % 64) * 37 + 11) % 201)")
         ntok = f"size({toks})"
     else:
         toks = "string_split(text, ' ')"
-        tokh = "('0x'||substr(md5(x),1,15))::BIGINT"
         sum_w = (f"CAST(list_aggregate(list_transform({toks}, "
                  f"x -> ((({tokh}) % 64) * 37 + 11) % 201), 'sum') AS BIGINT)")
         ntok = f"len({toks})"
@@ -2620,10 +2619,10 @@ def _ann_pq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY k.vec_id),
       cand AS (
         -- ORDER BY + LIMIT plans as TakeOrderedAndProject (distributed
-        -- top-k, map-side partial then one 32-row merge) — the ROW_NUMBER
+        -- top-k, map-side partial then one 64-row merge) — the ROW_NUMBER
         -- formulation the oracle runs would single-partition-sort EVERY
         -- vector's ADC score; ties break identically ((adc_d2, vec_id) is
-        -- a total order, so the 32 selected rows are the same set)
+        -- a total order, so the 64 selected rows are the same set)
         SELECT vec_id, adc_d2 FROM adc
         ORDER BY adc_d2 ASC, vec_id ASC LIMIT 64),
       cv AS (

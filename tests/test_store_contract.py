@@ -196,3 +196,18 @@ def test_diff_between_rounds(spark, store):
     assert key == ["url", "depth"]
     with pytest.raises(SystemExit):
         infer_key(rows("x").select("depth"), None)
+
+    # duplicate keys in a snapshot: set semantics — one added KEY, not two
+    s4 = store.overwrite("f", spark.createDataFrame(
+        [("b", 1), ("c", 1), ("d", 1), ("e", 1), ("e", 2)],
+        "url string, depth int"))
+    store.commit_round(4, {"f": s4})
+    added, removed, _ = diff_table(spark, store, "f", 3, 4)
+    assert sorted(r.url for r in added.collect()) == ["e"]
+    assert removed.count() == 0
+
+    # uncommitted round boundaries fail cleanly, not with a raw traceback
+    with pytest.raises(SystemExit):
+        diff_table(spark, store, "f", 3, 99)
+    with pytest.raises(SystemExit):
+        diff_table(spark, store, "nosuch", 3, 4)
