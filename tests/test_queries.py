@@ -196,3 +196,14 @@ def test_ann_pq_recall_vs_exact_l2(duck):
       LIMIT 10""").fetchall()}
     pq = {r[0] for r in duck.execute(_q_ann_pq("duckdb")).fetchall()}
     assert len(pq & exact) >= 7, (sorted(pq), sorted(exact))
+
+
+def test_queries_md_index_is_current():
+    """QUERIES.md (generated by tools/gen_query_index.py) must list exactly
+    the queries() entries in order — regenerate it when the battery
+    changes. Names/order only: description edits don't require a regen."""
+    rows = [l.split("|")[2].strip().strip("`")
+            for l in open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "QUERIES.md"))
+            if l.startswith("|") and "---" not in l][1:]
+    assert rows == list(Q), "run: python tools/gen_query_index.py > QUERIES.md"
