@@ -10,8 +10,9 @@
 - ``queries()`` / ``oracle_sql()``: one entry per operator family from
   SURVEY.md §2 + training-data ops (dedup/minhash/simhash/jaccard, ANN
   similarity search, langid/quality/token/fingerprint text analysis) over
-  /root/testdata tables, each DuckDB-checked except ``approx_users`` (HLL —
-  rows-only by design).
+  /root/testdata tables, each DuckDB-checked — including ``approx_users``
+  (bounded-error HLL check: exact count hash-matched, estimate asserted
+  within ±5% engine-side).
 """
 
 from __future__ import annotations
