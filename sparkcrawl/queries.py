@@ -2227,7 +2227,14 @@ def _q_asof_join(engine: str) -> str:
     payload — O(n log n) per partition, no range join, no all-pairs.
     Timestamps ride as epoch-µs BIGINTs end to end (no float, no timestamp
     union-type coercion); unmatched views keep -1 sentinels so both engines
-    hash identically."""
+    hash identically.
+
+    The payload slice is ROW_NUMBER-deduped per (user_id, p_us) with a
+    deterministic max-event_id tie-break (ADVICE r4): two purchases sharing
+    a user and the same microsecond would otherwise fan the join-back out —
+    each matching view row duplicating — which is wrong as-of semantics and
+    near-certain at the 10^10-row design point even though the current
+    fixtures happen to be collision-free."""
     us = _micros(engine, "ts")
     return f"""
       WITH tagged AS (
@@ -2245,9 +2252,13 @@ def _q_asof_join(engine: str) -> str:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_us
         FROM tagged
       ), pp AS (
-        SELECT user_id, {us} AS p_us, event_id AS p_event_id,
-               CAST(ROUND(value * 100) AS BIGINT) AS p_cents
-        FROM events WHERE event_type = 'purchase'
+        SELECT user_id, p_us, p_event_id, p_cents FROM (
+          SELECT user_id, {us} AS p_us, event_id AS p_event_id,
+                 CAST(ROUND(value * 100) AS BIGINT) AS p_cents,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, {us}
+                                    ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'purchase') t
+        WHERE rn = 1
       )
       SELECT r.v_event_id AS v_event_id, r.user_id AS user_id,
              COALESCE(pp.p_event_id, CAST(-1 AS BIGINT)) AS p_event_id,

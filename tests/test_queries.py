@@ -180,6 +180,54 @@ def test_asof_join_oracle_equals_duckdb_native_asof(duck):
     assert any(r[2] != -1 for r in portable)      # and most have a match
 
 
+def test_asof_join_no_fanout_on_tied_purchase_timestamps(spark):
+    """ADVICE r4 (medium): two purchases sharing (user_id, ts) must not fan
+    the payload join-back out — the match is deduped per (user_id, p_us)
+    with a deterministic max-event_id tie-break. At the 10^10-row design
+    point same-microsecond collisions are near-certain, so this pins the
+    collision case the natural fixtures never exercise: exactly one output
+    row per view, matched to the HIGHEST event_id among tied purchases, and
+    Spark ≡ DuckDB on the colliding input."""
+    from sparkcrawl.queries import _SHARED_QUERIES
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 7: two purchases at the SAME microsecond, then a view
+        (1, 7, "purchase", t0, 10.00, "{}"),
+        (2, 7, "purchase", t0, 20.00, "{}"),
+        (3, 7, "view", t0 + datetime.timedelta(seconds=5), 0.0, "{}"),
+        # user 8: a view with no prior purchase (sentinel path intact)
+        (4, 8, "view", t0, 0.0, "{}"),
+        # user 7: a later lone purchase, then a view — normal path intact
+        (5, 7, "purchase", t0 + datetime.timedelta(seconds=10), 30.00, "{}"),
+        (6, 7, "view", t0 + datetime.timedelta(seconds=11), 0.0, "{}"),
+    ]
+    schema = ("event_id long, user_id long, event_type string, "
+              "ts timestamp, value double, payload string")
+    sdf = spark.createDataFrame(rows, schema)
+    sdf.createOrReplaceTempView("events")
+    try:
+        srows = sorted(tuple(r) for r in
+                       spark.sql(_SHARED_QUERIES["asof_join"]("spark"))
+                       .collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE events(event_id BIGINT, user_id BIGINT,"
+                    " event_type VARCHAR, ts TIMESTAMP, value DOUBLE,"
+                    " payload VARCHAR)")
+        con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", rows)
+        drows = sorted(tuple(r) for r in
+                       con.execute(_SHARED_QUERIES["asof_join"]("duckdb"))
+                       .fetchall())
+        assert srows == drows
+        by_view = {r[0]: r for r in srows}
+        assert len(srows) == 3 and set(by_view) == {3, 4, 6}  # one row/view
+        assert by_view[3][2] == 2 and by_view[3][4] == 2000  # max event_id tie
+        assert by_view[4][2] == -1                            # sentinel
+        assert by_view[6][2] == 5 and by_view[6][4] == 3000   # later purchase
+    finally:
+        spark.catalog.dropTempView("events")
+
+
 def test_ann_pq_recall_vs_exact_l2(duck):
     """PQ is approximate by construction — pin its measured quality: the
     top-10 by PQ (ADC short-list + exact re-rank) must recover most of the
