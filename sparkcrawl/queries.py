@@ -2016,8 +2016,21 @@ def _q_mixture_weights(engine: str) -> str:
     deterministic per-row Bernoulli that makes E[repeats] = weight with no
     RNG state and no driver coordination (same cluster-size-invariance
     property as stratified_sample/shard_assign). All weight arithmetic is
-    BIGINT micro-units (tot·1e6 ≤ 1e12 at sf0.1 — overflow-safe), so both
-    engines make identical repeat decisions."""
+    BIGINT micro-units computed by EXACT staged long division (ADVICE r4):
+    the naive ``all_tok * 1000000`` intermediate overflows BIGINT once the
+    corpus passes ~9.2e12 tokens — i.e. exactly at the 100 TB design point
+    (~1e13+ tokens) — so with D = n_langs·lang_tok the quotient is built as
+    q0·1e6 + q1·1e3 + q2 where q0 = all_tok÷D, q1 = (all_tok%D)·1e3÷D,
+    q2 = (((all_tok%D)·1e3)%D)·1e3÷D. Each stage multiplies a value < D by
+    only 1e3, so every intermediate stays < D·1e3 — exact and overflow-free
+    while D < 9.2e15 (three decades of headroom past the design point),
+    and identical in value to the single division at every scale. The
+    weight is capped at 100× (DoReMi-style bounded upsampling — unbounded
+    repetition of a near-empty stratum is never wanted in a training mix),
+    which also bounds the quotient path: the uncapped branch only runs
+    when q0 < 100, so q0·1e6 < 1e8 regardless of corpus size. All operands
+    are non-negative, so Spark's truncating DIV and DuckDB's flooring //
+    agree."""
     div = "DIV" if engine == "spark" else "//"
     ntok = ("size(split(text, ' '))" if engine == "spark"
             else "len(string_split(text, ' '))")
@@ -2027,10 +2040,17 @@ def _q_mixture_weights(engine: str) -> str:
                    FROM documents),
       lg AS (SELECT lang, SUM(n_tok) AS lang_tok FROM tok GROUP BY lang),
       tot AS (SELECT SUM(lang_tok) AS all_tok, COUNT(*) AS n_langs FROM lg),
+      wd AS (SELECT lang, n_langs * lang_tok AS d, all_tok
+             FROM lg CROSS JOIN tot),
+      ws AS (SELECT lang, d, all_tok {div} d AS q0,
+                    (all_tok % d) * 1000 AS x1
+             FROM wd),
       w AS (SELECT lang,
-                   CAST((all_tok * 1000000) {div} (n_langs * lang_tok) AS BIGINT)
-                     AS w_micro
-            FROM lg CROSS JOIN tot)
+                   CAST(CASE WHEN q0 >= 100 THEN 100000000
+                        ELSE LEAST(q0 * 1000000 + (x1 {div} d) * 1000
+                                   + ((x1 % d) * 1000) {div} d,
+                                   100000000) END AS BIGINT) AS w_micro
+            FROM ws)
       SELECT t.doc_id AS doc_id, t.lang AS lang, t.n_tok AS n_tokens,
              w.w_micro AS weight_micro,
              CAST(w.w_micro {div} 1000000
@@ -2106,10 +2126,19 @@ def _q_recrawl_priority(engine: str) -> str:
     observation. In the crawl this scores the seen table for re-enqueue
     after seen-TTL forgetting (rounds.forget_seen); here the events table
     is the fetch/change history and user_id the entity. All arithmetic is
-    integer micro-units over epoch-µs timestamps (rate_micro ≤ ~4e13,
-    priority ≤ ~2e12 — overflow-safe BIGINT), so Spark ≡ DuckDB
-    bit-exactly. One groupBy shuffle + a 1-row now() aggregate; the
-    entity-history aggregate is the only pass over the table."""
+    integer micro-units over epoch-µs timestamps with EXACT staged long
+    division (ADVICE r4 — the naive ``(n_obs−1)·86400·1e6`` and
+    ``age_s·rate_micro`` intermediates are unbounded for dense histories /
+    old entities): the rate splits its ×1e6 scaling around the span
+    division (chg_day÷span then remainder·1e6÷span — exact while
+    span_s < 9.2e12 s, i.e. forever), and the priority reorders the
+    product around ÷86400 (age_s·(rate÷86400) + age_s·(rate%86400)÷86400 —
+    intermediates bounded by ~the result itself, so it overflows only when
+    the true priority wouldn't fit a BIGINT anyway). All operands
+    non-negative, so truncating DIV ≡ flooring //; values are identical to
+    the single-expression form at every scale. One groupBy shuffle + a
+    1-row now() aggregate; the entity-history aggregate is the only pass
+    over the table."""
     div = "DIV" if engine == "spark" else "//"
     us = _micros(engine, "ts")
     return f"""
@@ -2117,20 +2146,25 @@ def _q_recrawl_priority(engine: str) -> str:
         SELECT user_id, COUNT(*) AS n_obs,
                MIN({us}) AS first_us, MAX({us}) AS last_us
         FROM events GROUP BY user_id),
-      g AS (SELECT MAX(last_us) AS now_us FROM hist)
-      SELECT user_id, n_obs,
-             (g.now_us - last_us) {div} 1000000 AS age_s,
-             CAST(CASE WHEN last_us - first_us >= 1000000
-                  THEN ((n_obs - 1) * 86400 * 1000000)
-                       {div} ((last_us - first_us) {div} 1000000)
-                  ELSE 0 END AS BIGINT) AS rate_micro,
-             CAST(CASE WHEN last_us - first_us >= 1000000
-                  THEN (((g.now_us - last_us) {div} 1000000)
-                        * (((n_obs - 1) * 86400 * 1000000)
-                           {div} ((last_us - first_us) {div} 1000000)))
-                       {div} 86400
-                  ELSE 0 END AS BIGINT) AS priority_micro
-      FROM hist CROSS JOIN g
+      g AS (SELECT MAX(last_us) AS now_us FROM hist),
+      spans AS (
+        SELECT user_id, n_obs,
+               (g.now_us - last_us) {div} 1000000 AS age_s,
+               (last_us - first_us) {div} 1000000 AS span_s,
+               (n_obs - 1) * 86400 AS chg_day
+        FROM hist CROSS JOIN g),
+      rates AS (
+        SELECT user_id, n_obs, age_s,
+               CAST(CASE WHEN span_s >= 1
+                    THEN (chg_day {div} span_s) * 1000000
+                         + ((chg_day % span_s) * 1000000) {div} span_s
+                    ELSE 0 END AS BIGINT) AS rate_micro
+        FROM spans)
+      SELECT user_id, n_obs, age_s, rate_micro,
+             CAST(age_s * (rate_micro {div} 86400)
+                  + (age_s * (rate_micro % 86400)) {div} 86400
+                  AS BIGINT) AS priority_micro
+      FROM rates
     """
 
 

@@ -228,6 +228,51 @@ def test_asof_join_no_fanout_on_tied_purchase_timestamps(spark):
         spark.catalog.dropTempView("events")
 
 
+def test_staged_division_exact_at_design_point_magnitudes():
+    """ADVICE r4: mixture_weights / recrawl_priority must not overflow
+    BIGINT at 100 TB magnitudes. Their staged long divisions are pinned
+    here against Python's unbounded integers — same formulas, adversarial
+    operands past the point where the old single-expression forms
+    (all_tok·1e6, age_s·rate_micro, chg_day·1e6) blow through 2^63."""
+    import itertools
+    B = 2**63
+
+    # mixture_weights: CASE q0>=100 → cap, else min(q0·1e6+q1·1e3+q2, cap)
+    # ≡ min((all_tok·1e6) // D, 1e8) — and the uncapped branch's
+    # intermediates only materialize when q0 < 100
+    CAP = 100000000
+    for all_tok, d in itertools.product(
+            [1, 999, 10**13 + 7, 9 * 10**14], [1, 3, 10**13 + 1, 9 * 10**14]):
+        q0, r0 = divmod(all_tok, d)
+        if q0 >= 100:
+            staged = CAP
+        else:
+            x1 = r0 * 1000
+            staged = min(q0 * 1000000 + (x1 // d) * 1000
+                         + ((x1 % d) * 1000) // d, CAP)
+            # every BIGINT-visible intermediate fits
+            assert max(q0 * 1000000, x1, (x1 % d) * 1000) < B, (all_tok, d)
+        assert staged == min((all_tok * 1000000) // d, CAP), (all_tok, d)
+
+    # recrawl rate: (chg_day//s)·1e6 + (chg_day%s)·1e6//s ≡ chg_day·1e6//s
+    for n_obs, span_s in itertools.product(
+            [2, 10**6, 10**11], [1, 86399, 10**9, 9 * 10**12 - 1]):
+        chg_day = (n_obs - 1) * 86400
+        staged = ((chg_day // span_s) * 1000000
+                  + ((chg_day % span_s) * 1000000) // span_s)
+        assert staged == (chg_day * 1000000) // span_s, (n_obs, span_s)
+        assert (chg_day % span_s) * 1000000 < B
+
+    # recrawl priority: age·(r//86400) + (age·(r%86400))//86400 ≡ (age·r)//86400
+    for age_s, rate in itertools.product(
+            [0, 1, 10**9], [0, 86399, 4 * 10**13, 9 * 10**9]):
+        staged = (age_s * (rate // 86400)
+                  + (age_s * (rate % 86400)) // 86400)
+        assert staged == (age_s * rate) // 86400, (age_s, rate)
+        assert age_s * (rate % 86400) < B
+        assert staged < B  # intermediates bounded by ~the result
+
+
 def test_ann_pq_recall_vs_exact_l2(duck):
     """PQ is approximate by construction — pin its measured quality: the
     top-10 by PQ (ADC short-list + exact re-rank) must recover most of the
