@@ -2263,12 +2263,15 @@ def _q_asof_join(engine: str) -> str:
     union-type coercion); unmatched views keep -1 sentinels so both engines
     hash identically.
 
-    The payload slice is ROW_NUMBER-deduped per (user_id, p_us) with a
-    deterministic max-event_id tie-break (ADVICE r4): two purchases sharing
-    a user and the same microsecond would otherwise fan the join-back out —
-    each matching view row duplicating — which is wrong as-of semantics and
+    The payload slice is deduped per (user_id, p_us) with a deterministic
+    max-event_id tie-break (ADVICE r4): two purchases sharing a user and
+    the same microsecond would otherwise fan the join-back out — each
+    matching view row duplicating — which is wrong as-of semantics and
     near-certain at the 10^10-row design point even though the current
-    fixtures happen to be collision-free."""
+    fixtures happen to be collision-free. The dedup is a GROUP BY with
+    MAX/MAX_BY (map-side partial agg, no second window shuffle; Spark and
+    DuckDB both ship MAX_BY and its event_id tie scan is total-ordered, so
+    the picked payload is deterministic in both engines)."""
     us = _micros(engine, "ts")
     return f"""
       WITH tagged AS (
@@ -2286,13 +2289,12 @@ def _q_asof_join(engine: str) -> str:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_us
         FROM tagged
       ), pp AS (
-        SELECT user_id, p_us, p_event_id, p_cents FROM (
-          SELECT user_id, {us} AS p_us, event_id AS p_event_id,
-                 CAST(ROUND(value * 100) AS BIGINT) AS p_cents,
-                 ROW_NUMBER() OVER (PARTITION BY user_id, {us}
-                                    ORDER BY event_id DESC) AS rn
-          FROM events WHERE event_type = 'purchase') t
-        WHERE rn = 1
+        SELECT user_id, p_us, MAX(event_id) AS p_event_id,
+               MAX_BY(p_cents, event_id) AS p_cents
+        FROM (SELECT user_id, {us} AS p_us, event_id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS p_cents
+              FROM events WHERE event_type = 'purchase') t
+        GROUP BY user_id, p_us
       )
       SELECT r.v_event_id AS v_event_id, r.user_id AS user_id,
              COALESCE(pp.p_event_id, CAST(-1 AS BIGINT)) AS p_event_id,
@@ -2493,30 +2495,23 @@ def _make_sql_query(builder: Callable[[str], str]):
     return run
 
 
-_IVF_INDEX_CACHE: dict[str, str] = {}
-
-
-def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+def _ivf_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once IVF coarse index: (label, dim, c) per-dimension centroids,
-    persisted as a tiny parquet table keyed by the embeddings file identity
-    (VERDICT r2 #4 — at 100 TB the centroid table must be precomputed once,
-    not re-derived by exploding the full embeddings table inside every probe
-    query; in the crawl deployment this would be a SnapStore/Iceberg table
-    committed by an index-build job). The centroid arithmetic is the exact
-    integer-fixed-point formula the DuckDB oracle computes inline, so probe
-    results are bit-identical to the oracle's."""
-    import hashlib
-    import os
+    committed as a SnapStore table keyed by the embeddings file identity
+    (VERDICT r2 #4 build-once; VERDICT r4 #2 store-committed — atomic
+    manifest rename instead of a ``_SUCCESS``-check-then-overwrite race,
+    superseded data dirs expired on rebuild, same verbs as the crawl
+    tables). The centroid arithmetic is the exact integer-fixed-point
+    formula the DuckDB oracle computes inline, so probe results are
+    bit-identical to the oracle's. The centroid table is O(labels·dims)
+    rows — a single-task write is the right layout."""
+    from sparkcrawl.indexstore import ensure_index, index_store
 
-    cached = _IVF_INDEX_CACHE.get(sf_dir)
-    if cached:
-        return cached
     src = f"{sf_dir}/embeddings.parquet"
-    ident = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
-    path = "/dev/shm/sparkcrawl_ivf_" + hashlib.md5(ident.encode()).hexdigest()[:12]
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def build(store, tables, ident):
         spark.read.parquet(src).createOrReplaceTempView("embeddings")
-        spark.sql(
+        df = spark.sql(
             """
             SELECT label, pos AS dim,
                    CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT))
@@ -2525,21 +2520,24 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
             FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, val
             GROUP BY label, pos
             """
-        ).coalesce(1).write.mode("overwrite").parquet(path)
-    _IVF_INDEX_CACHE[sf_dir] = path
-    return path
+        )
+        store.overwrite(tables["centroids"], df.coalesce(1),
+                        meta={"ident": ident})
+
+    tables = ensure_index(spark, "ivf", src, "fixp-l2", ["centroids"], build)
+    return index_store().read(spark, tables["centroids"])
 
 
 def _ann_ivf_multiprobe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF nprobe=3 against the PERSISTED centroid index: the probe plan
     explodes only the single query vector and joins the ~(labels×64)-row
     index table — the full-embeddings posexplode lives in the one-time
-    index build (:func:`_ivf_index_path`), not in the query. The DuckDB
+    index build (:func:`_ivf_index_df`), not in the query. The DuckDB
     oracle computes the same centroids inline; results are bit-identical
     (same fixed-point formula)."""
-    idx = _ivf_index_path(spark, sf_dir)
+    idx = _ivf_index_df(spark, sf_dir)
     register_views(spark, sf_dir)
-    spark.read.parquet(idx).createOrReplaceTempView("ivf_centroids")
+    idx.createOrReplaceTempView("ivf_centroids")
     cos = _cosine("spark", "e.embedding", "q.embedding")
     return spark.sql(
         f"""
@@ -2572,43 +2570,41 @@ def _ann_ivf_multiprobe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_INDEX_CACHE: dict[str, str] = {}
-
-
-def _pq_index_path(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once PQ index (codes + codebook parquet, keyed by the
-    embeddings file identity — the `_ivf_index_path` pattern): the training
-    and encode CTEs are the SAME text the DuckDB oracle runs inline
+def _pq_index_dfs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Build-once PQ index (codes + codebook) committed as SnapStore tables
+    keyed by the embeddings file identity (VERDICT r4 #2: atomic manifest
+    rename replaces the ``_SUCCESS``-check-then-overwrite race, a
+    regenerated source overwrites the SAME tables and the superseded data
+    dirs are expired — nothing strands in scratch space). The training and
+    encode CTEs are the SAME text the DuckDB oracle runs inline
     (:func:`_pq_cte`), so the persisted index is bit-identical to what the
     oracle derives. At 100 TB this is the one-time index-build job; every
-    probe afterwards scans the ~64×-smaller codes table."""
-    import hashlib
-    import os
+    probe afterwards scans the ~64×-smaller codes table.
 
-    cached = _PQ_INDEX_CACHE.get(sf_dir)
-    if cached:
-        return cached
+    Layout: the codebook is O(K·dims) rows — single task. The CODES table
+    is O(n_vectors·M) rows and is written repartitioned by vec_id hash
+    (VERDICT r4 "What's wrong #2": a coalesce(1) here would serialize the
+    entire encode output through one core at the design point, and a
+    hash-bucketed layout makes the probe's codes scan parallel by
+    construction instead of by parquet row-group luck)."""
+    from sparkcrawl.indexstore import ensure_index, index_store
+
     src = f"{sf_dir}/embeddings.parquet"
-    # the params tag versions the cache: retuning M/K/short-list must never
-    # reuse an index built under the old geometry (the BENCH-corpus cache-key
-    # lesson, VERDICT r3 #2)
-    ident = (f"pq:16x4x16:{os.path.abspath(src)}:"
-             f"{os.path.getmtime(src)}:{os.path.getsize(src)}")
-    path = "/dev/shm/sparkcrawl_pq_" + hashlib.md5(ident.encode()).hexdigest()[:12]
-    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+
+    def build(store, tables, ident):
         spark.read.parquet(src).createOrReplaceTempView("embeddings")
-        # train once (write the codebook), then encode FROM the persisted
+        # train once (commit the codebook), then encode FROM the committed
         # codebook — running the full _pq_cte twice would redo the Lloyd
-        # training for the codes table; encoding against the written
+        # training for the codes table; encoding against the committed
         # codebook is bit-identical (same centroid values) and halves the
         # build. The encode CTEs below are d2t/codes from _pq_cte with the
-        # inline c1 swapped for the persisted table.
-        spark.sql(f"WITH {_pq_cte('spark')} SELECT cid, dim, c FROM c1") \
-            .coalesce(1).write.mode("overwrite") \
-            .parquet(os.path.join(path, "codebook"))
-        spark.read.parquet(os.path.join(path, "codebook")) \
+        # inline c1 swapped for the committed table.
+        cb = spark.sql(f"WITH {_pq_cte('spark')} SELECT cid, dim, c FROM c1")
+        store.overwrite(tables["codebook"], cb.coalesce(1),
+                        meta={"ident": ident})
+        store.read(spark, tables["codebook"]) \
             .createOrReplaceTempView("pq_codebook_build")
-        spark.sql(f"""
+        codes = spark.sql(f"""
           WITH ev AS ({_kmeans_explode('spark')}),
           sv AS (SELECT vec_id, dim, CAST(dim DIV 4 AS INT) AS sub, v
                  FROM ev),
@@ -2623,28 +2619,31 @@ def _pq_index_path(spark: SparkSession, sf_dir: str) -> str:
                                       ORDER BY d2 ASC, cid ASC) AS rk
             FROM d2t) t
           WHERE rk = 1
-        """).coalesce(1).write.mode("overwrite") \
-            .parquet(os.path.join(path, "codes"))
-    _PQ_INDEX_CACHE[sf_dir] = path
-    return path
+        """)
+        store.overwrite(tables["codes"], codes.repartition(8, "vec_id"),
+                        meta={"ident": ident})
+
+    # the params tag versions the index: retuning M/K/short-list must never
+    # reuse an index built under the old geometry (the BENCH-corpus
+    # cache-key lesson, VERDICT r3 #2)
+    tables = ensure_index(spark, "pq", src, "16x4x16",
+                          ["codebook", "codes"], build)
+    store = index_store()
+    return {lt: store.read(spark, t) for lt, t in tables.items()}
 
 
 def _ann_pq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ probe against the PERSISTED index (:func:`_pq_index_path`): the
+    """PQ probe against the PERSISTED index (:func:`_pq_index_dfs`): the
     query vector explodes alone into the 16×16 asymmetric-distance table,
     ADC is ONE equi-join of the slim codes table against that broadcast
     table plus a partial-agg sum, and only the 64 short-listed candidates'
     embeddings are exploded for the exact re-rank — the full-table explode
     lives in the one-time index build. Bit-identical to the oracle's inline
     derivation (same fixed-point CTE text)."""
-    idx = _pq_index_path(spark, sf_dir)
-    import os
-
+    idx = _pq_index_dfs(spark, sf_dir)
     register_views(spark, sf_dir)
-    spark.read.parquet(os.path.join(idx, "codebook")) \
-        .createOrReplaceTempView("pq_codebook")
-    spark.read.parquet(os.path.join(idx, "codes")) \
-        .createOrReplaceTempView("pq_codes")
+    idx["codebook"].createOrReplaceTempView("pq_codebook")
+    idx["codes"].createOrReplaceTempView("pq_codes")
     return spark.sql("""
       WITH qv AS (
         SELECT pos AS dim, CAST(pos DIV 4 AS INT) AS sub,
@@ -2993,39 +2992,36 @@ _MULTIMODAL_DECODE_ORACLE = """
 """
 
 
-_MEDIA_IVF_CACHE: dict[str, str] = {}
-
-
-def _media_ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+def _media_ivf_index_dfs(spark: SparkSession,
+                         sf_dir: str) -> dict[str, DataFrame]:
     """Build-once media-feature index (VERDICT r3 #7 — close the multimodal
-    loop): the REAL decode plumbing (multimodal.process_media + fake_decode,
+    loop; VERDICT r4 #2 — committed as SnapStore tables, atomic rename
+    instead of a ``_DONE``-file gate, superseded dirs expired on rebuild):
+    the REAL decode plumbing (multimodal.process_media + fake_decode,
     sparkcrawl/multimodal.py) runs ONCE over payloads built from
-    documents.text, and its `media.feature` vectors land in two tiny parquet
-    tables — `hist` (doc_id, cell, dim, h: the feature recovered as integer
+    documents.text, and its `media.feature` vectors land in two tables —
+    `hist` (doc_id, cell, dim, h: the feature recovered as integer
     byte-histogram counts, dense 16 dims) and `centroids` (cell, dim, c:
-    per-media-type fixed-point means, same formula as _ivf_index_path).
+    per-media-type fixed-point means, same formula as _ivf_index_df).
     Probe queries scan the persisted index and never re-decode — at 100 TB
     the decode is the expensive one-time job, the probes are cheap scans.
+    hist is O(n_docs·16) rows, so it is written repartitioned by doc_id
+    hash (multi-task, parallel probe scans by layout); centroids is
+    O(cells·16) — single task.
 
     Integer recovery h = ROUND(feature[dim] * n_bytes) is exact: feature is
     float32(h / n_bytes), so the product's error is < h·2⁻²⁴ < 0.5 for any
     document under 8 MB — and cosine over the integer histograms is
     scale-invariant-equal to cosine over the normalized features while
     staying bit-replayable in the DuckDB oracle (no float32 in sight)."""
-    import hashlib
-    import os
-
     from pyspark.sql import functions as F
 
+    from sparkcrawl.indexstore import ensure_index, index_store
     from sparkcrawl.multimodal import process_media
 
-    cached = _MEDIA_IVF_CACHE.get(sf_dir)
-    if cached:
-        return cached
     src = f"{sf_dir}/documents.parquet"
-    ident = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
-    path = "/dev/shm/sparkcrawl_mivf_" + hashlib.md5(ident.encode()).hexdigest()[:12]
-    if not os.path.exists(os.path.join(path, "_DONE")):
+
+    def build(store, tables, ident):
         docs = spark.read.parquet(src).filter(F.length("text") > 0)
         media = docs.select(
             "doc_id",
@@ -3050,18 +3046,24 @@ def _media_ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
                 .cast("bigint").alias("h"),
             )
         )
-        hist.coalesce(1).write.mode("overwrite").parquet(f"{path}/hist")
-        spark.read.parquet(f"{path}/hist").createOrReplaceTempView("_media_hist_b")
-        spark.sql(
+        store.overwrite(tables["hist"], hist.repartition(8, "doc_id"),
+                        meta={"ident": ident})
+        store.read(spark, tables["hist"]) \
+            .createOrReplaceTempView("_media_hist_b")
+        centroids = spark.sql(
             """
             SELECT cell, dim,
                    CAST(SUM(h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
             FROM _media_hist_b GROUP BY cell, dim
             """
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-        open(os.path.join(path, "_DONE"), "w").write("ok")
-    _MEDIA_IVF_CACHE[sf_dir] = path
-    return path
+        )
+        store.overwrite(tables["centroids"], centroids.coalesce(1),
+                        meta={"ident": ident})
+
+    tables = ensure_index(spark, "mivf", src, "hist16",
+                          ["hist", "centroids"], build)
+    store = index_store()
+    return {lt: store.read(spark, t) for lt, t in tables.items()}
 
 
 # Shared IVF probe over the media-feature histograms: nearest-2-of-3 cells
@@ -3113,14 +3115,12 @@ _MEDIA_ANN_PROBE = f"""
 def _media_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN over DECODED media features (multimodal → index → probe, end to
     end): probes the persisted media-feature IVF index built by
-    :func:`_media_ivf_index_path`; the decode kernel never runs inside the
+    :func:`_media_ivf_index_dfs`; the decode kernel never runs inside the
     query. The DuckDB oracle replays fake_decode's byte-histogram arithmetic
     in SQL and computes the identical centroids/probe inline."""
-    idx = _media_ivf_index_path(spark, sf_dir)
-    spark.read.parquet(f"{idx}/hist").createOrReplaceTempView("media_hist")
-    spark.read.parquet(f"{idx}/centroids").createOrReplaceTempView(
-        "media_ivf_centroids"
-    )
+    idx = _media_ivf_index_dfs(spark, sf_dir)
+    idx["hist"].createOrReplaceTempView("media_hist")
+    idx["centroids"].createOrReplaceTempView("media_ivf_centroids")
     return spark.sql("WITH " + _MEDIA_ANN_PROBE)
 
 

@@ -220,6 +220,16 @@ class SnapStore:
     def exists(self, table: str) -> bool:
         return self.latest(table) is not None
 
+    def snapshot_meta(self, table: str, snapshot_id: int | None = None) -> dict:
+        """The ``meta`` dict committed with a snapshot (latest by default) —
+        e.g. the source-identity key an index build records so a reader can
+        tell a live artifact from a stale one. Empty dict if the table has
+        no snapshot."""
+        snap_id = self.latest(table) if snapshot_id is None else snapshot_id
+        if snap_id is None:
+            return {}
+        return self._load_manifest(table, snap_id).get("meta", {})
+
     # ----- maintenance: snapshot expiry + small-file compaction -----
     def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
         """Drop all but the newest ``keep_last`` snapshots and delete every
