@@ -174,6 +174,12 @@ def main() -> None:
     q = queries()
     timings: dict[str, float] = {}
     try:
+        # worker fast path active? (VERDICT r4 #6: a version-gate skip on a
+        # future pyspark must show in the artifact, not read as a mystery
+        # perf regression — workerperf also WARNs once per worker)
+        from sparkcrawl.workerperf import probe as _fastpath_probe
+
+        worker_fastpath = _fastpath_probe(spark)
         # warm the JVM/Arrow paths once (excluded from timings)
         q["depth_histogram"](spark, sf_dir).collect()
         for name in HEADLINE:
@@ -204,6 +210,7 @@ def main() -> None:
                 "cpus": cpus,
                 "corpus_version": synth.FORMAT_VERSION,
                 "machine_calib": calib,
+                "worker_fastpath": worker_fastpath,
             }
         )
     )

@@ -44,6 +44,28 @@ import sys
 
 _installed = False
 
+# why install() declined, for the loud fallback (VERDICT r4 #6: a silent
+# revert on a future pyspark must not masquerade as a perf regression —
+# the skip is WARNed once per worker process and surfaced in the bench
+# JSON as worker_fastpath=false via probe()). "not-a-worker" is the normal
+# driver/test-process outcome and is never warned about.
+_skip_reason: str | None = None
+_warned = False
+
+
+def _warn_once(reason: str) -> None:
+    global _warned
+    if _warned:
+        return
+    _warned = True
+    print(
+        "WARN sparkcrawl.workerperf: worker fast path DISABLED "
+        f"({reason}) — the ~0.2 s/task import-cache invalidation cost "
+        "returns; bench JSON will report worker_fastpath=false",
+        file=sys.stderr,
+        flush=True,
+    )
+
 # (mtime, size) per include path: detects a shipped file REPLACED under the
 # same name (executor re-download after a mid-job addPyFile), which changes
 # no sys.path entry but does stale the cached zipimporter directories —
@@ -97,17 +119,23 @@ def install() -> bool:
     UDF deserialization of the first task — so task 1 pays the stock cost
     and every later task on that worker runs the fast path.
     """
-    global _installed
+    global _installed, _skip_reason
     if _installed:
         return True
     # Only ever patch a real worker process: the worker main loop imports
     # pyspark.worker before any UDF module; driver/test processes don't.
     wmod = sys.modules.get("pyspark.worker")
     if wmod is None:
+        _skip_reason = "not-a-worker"
         return False
     import pyspark
 
-    if not getattr(pyspark, "__version__", "").startswith("4."):
+    ver = getattr(pyspark, "__version__", "")
+    if not ver.startswith("4."):
+        # version gate: the patched reader mirrors the 4.x wire protocol;
+        # on 5.x it must fail LOUDLY, not silently revert to the slow path
+        _skip_reason = f"pyspark {ver or 'unknown'} outside the 4.x gate"
+        _warn_once(_skip_reason)
         return False
     try:
         import pyspark.worker_util as wutil
@@ -119,7 +147,40 @@ def install() -> bool:
         import gc
 
         gc.freeze()
-    except Exception:  # pragma: no cover - never break a worker over perf
+    except Exception as exc:  # pragma: no cover - never break a worker
+        _skip_reason = f"patch failed: {exc!r}"
+        _warn_once(_skip_reason)
         return False
     _installed = True
+    _skip_reason = None
     return True
+
+
+def probe(spark) -> bool:
+    """Driver-side check that the fast path is ACTIVE inside worker
+    processes — runs a tiny Arrow-batched UDF job (the same code path
+    production tasks take: the package __init__ installs on worker import)
+    and returns whether every probed worker reports the patch installed.
+    bench.py publishes this as ``worker_fastpath`` so a gate-skip on a
+    future pyspark shows up in the bench artifact, not as an unattributed
+    perf regression."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _fastpath_on(x):
+        from sparkcrawl import workerperf as wp
+
+        return pd.Series([wp._installed] * len(x))
+
+    # real annotation objects (the module's `from __future__ import
+    # annotations` would stringify inline hints past pandas_udf inference)
+    _fastpath_on.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_fastpath_on, T.BooleanType())
+    rows = (
+        spark.range(8)
+        .repartition(2)
+        .select(udf("id").alias("ok"))
+        .collect()
+    )
+    return bool(rows) and all(r.ok for r in rows)

@@ -136,3 +136,42 @@ def test_patched_invalidates_when_include_replaced_in_place(
         assert calls["n"] == 2
     finally:
         sys.path[:] = saved_path
+
+
+def test_version_gate_skip_is_loud(monkeypatch, capsys):
+    """VERDICT r4 #6: a version-gate skip (e.g. pyspark 5.x) must WARN once
+    per worker process and record a skip reason — never silently revert to
+    the slow path."""
+    import pyspark
+
+    monkeypatch.setitem(sys.modules, "pyspark.worker",
+                        type(sys)("pyspark.worker"))
+    monkeypatch.setattr(workerperf, "_installed", False)
+    monkeypatch.setattr(workerperf, "_warned", False)
+    monkeypatch.setattr(workerperf, "_skip_reason", None)
+    monkeypatch.setattr(pyspark, "__version__", "5.0.0")
+    assert workerperf.install() is False
+    assert workerperf.install() is False  # second call: no duplicate WARN
+    err = capsys.readouterr().err
+    assert err.count("worker fast path DISABLED") == 1, err
+    assert "5.0.0" in err and "worker_fastpath=false" in err
+    assert "5.0.0" in (workerperf._skip_reason or "")
+
+
+def test_not_a_worker_skip_is_silent(monkeypatch, capsys):
+    """Driver/test processes skip quietly — 'not-a-worker' is the normal
+    outcome there, not a degradation worth a WARN."""
+    monkeypatch.delitem(sys.modules, "pyspark.worker", raising=False)
+    monkeypatch.setattr(workerperf, "_installed", False)
+    monkeypatch.setattr(workerperf, "_warned", False)
+    monkeypatch.setattr(workerperf, "_skip_reason", None)
+    assert workerperf.install() is False
+    assert capsys.readouterr().err == ""
+    assert workerperf._skip_reason == "not-a-worker"
+
+
+def test_probe_reports_fastpath_active_in_real_workers(spark):
+    """End-to-end state flag: on this pyspark (4.x) the probe job must see
+    the patch installed inside actual worker processes — the same boolean
+    bench.py publishes as worker_fastpath."""
+    assert workerperf.probe(spark) is True
