@@ -3851,6 +3851,36 @@ _DF_TWINS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+# Driver-window ROTATION (VERDICT r4 #4): the driver hard-checks only
+# list(queries())[:50] of the 87-entry battery, so entries parked past the
+# window accumulate rounds with no driver signal (worst case after r4: 37
+# entries last driver-green in r3). Policy, pinned by
+# tests/test_queries.py::test_driver_window_rotation_policy — each round,
+# swap ~10 of the stalest deferred entries back into the window in place of
+# 10 multiply-green (≥3 driver-green rounds) residents, so every battery
+# entry's last driver-green row stays ≤3 rounds old. Entries whose
+# implementation changed in the current round always stay in-window.
+#
+# Round 5 rotation: IN = 10 r3-stale entries spanning distinct shape
+# families (scan-agg, join-agg, pushdown scan, group-having, EXISTS/NOT
+# EXISTS, correlated-min multi-join, exact dedup, window agg, gap
+# sessionization, exact-cosine recall baseline); OUT = 10 residents that
+# are driver-green in all of r1–r4 and whose families remain represented
+# in-window (seen_antijoin keeps the anti-join anchor, minhash_lsh_pairs
+# the banded-dedup anchor, canonicalize the D1 kernel, length_percentiles
+# the percentile/histogram family, ann_ivf_multiprobe + ann_pq the probe
+# family — both also changed this round via the index-store refactor).
+_ROTATE_IN_R5 = [
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18", "tpch_q21", "tpch_q2",
+    "dedup_exact", "window_hourly", "sessionize", "ann_bruteforce",
+]
+_ROTATE_OUT_R5 = [
+    "perhost_topk", "priority_order", "status_counts", "broadcast_join",
+    "json_extract", "quality_score", "simhash", "embed_norms",
+    "embed_neardup", "ngram_jaccard",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, builder in _SHARED_QUERIES.items():
@@ -3860,7 +3890,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = fn
     for name in _DEFERRED_PAST_DRIVER_WINDOW:
         out[name] = _make_sql_query(_SHARED_QUERIES[name])
-    return out
+    # apply the rotation: rotated-in entries lead the window, rotated-out
+    # residents take their places at the tail (functions unchanged — only
+    # dict order moves, which is what the driver's [:50] gate reads)
+    rot_in = [n for n in _ROTATE_IN_R5 if n in out]
+    rot_out = [n for n in _ROTATE_OUT_R5 if n in out]
+    mid = [n for n in out if n not in rot_in and n not in rot_out]
+    return {n: out[n] for n in rot_in + mid + rot_out}
 
 
 def oracle_sql() -> dict[str, str]:

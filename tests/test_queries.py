@@ -57,53 +57,55 @@ def test_every_query_has_callable_and_most_have_oracles():
     assert not no_oracle, no_oracle
 
 
-def test_driver_window_holds_every_entry_needing_a_green_row():
+def _green_history() -> dict[str, list[int]]:
+    """Per-entry rounds with a fully-green driver row, from the recorded
+    CORRECTNESS_r0N.json artifacts."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist: dict[str, list[int]] = {}
+    for r in (1, 2, 3, 4):
+        p = os.path.join(root, f"CORRECTNESS_r0{r}.json")
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            for k, v in json.load(f).items():
+                ok = (v.get("rows_match") and v.get("schema_match")
+                      and (v.get("hash_match") or v.get("err") == "no_oracle"))
+                if ok:
+                    hist.setdefault(k, []).append(r)
+    return hist
+
+
+def test_driver_window_rotation_policy():
     """The driver's CORRECTNESS gate checks only list(queries())[:50]
-    (VERDICT r3 #1). Every entry without prior driver-green history must sit
-    inside that window; only rounds-1–3-green TPC-H shapes may overflow it."""
+    (VERDICT r3 #1). Rotation policy (VERDICT r4 #4): each round ~10 of the
+    stalest deferred entries swap back into the window in place of
+    multiply-green residents, so no battery entry's last driver-green row
+    ages past ~3 rounds. Pinned against the recorded CORRECTNESS artifacts,
+    not against a hand-maintained name list."""
+    from sparkcrawl.queries import _ROTATE_IN_R5, _ROTATE_OUT_R5
+
+    hist = _green_history()
     order = list(Q)
-    window = set(order[:50])
-    must_be_checked = {
-        "embed_norms", "event_pivot", "multimodal_bytes", "link_filter",
-        "rolling_avg", "canonicalize", "multimodal_decode",
-        "dedup_components", "approx_users", "stream_dedup",
-        # round 4 additions — no driver history yet
-        "media_ann", "stream_window_counts", "boilerplate_ngrams",
-        "contamination", "tfidf_top_terms", "pack_sequences", "pagerank",
-        "paragraph_dedup", "lm_perplexity", "dsir_weights", "host_quality",
-        "filter_funnel",
-        # round 4g additions — no driver history yet
-        "pii_redact", "dup_spans", "shard_assign", "semdedup",
-        # round 4h additions — no driver history yet
-        "kmeans_embed", "winnowing", "mixture_weights",
-        # round 4i additions — no driver history yet
-        "bm25_search", "recrawl_priority",
-        # round 4j addition — no driver history yet
-        "stream_stateful_totals",
-        # round 4k additions — no driver history yet
-        "asof_join", "range_join",
-        # round 4l additions — no driver history yet
-        "quality_classifier", "badwords_filter", "ann_pq",
-    }
-    assert must_be_checked <= window, sorted(must_be_checked - window)
-    # Only rounds-1–3-green shapes may overflow: every TPC-H query, plus the
-    # four shapes subsumed by a stronger in-window sibling (rationale at
-    # _DEFERRED_PAST_DRIVER_WINDOW in queries.py).
-    subsumed_green = {"minhash_signatures", "ann_ivf", "window_hourly",
-                      "sessionize",
-                      # round 4h/4i overflow (r1–r3 green, families kept
-                      # in-window — rationale at _DEFERRED_PAST_DRIVER_WINDOW)
-                      "token_stats", "langid", "doc_fingerprint",
-                      "top_terms", "ann_bruteforce", "stratified_sample",
-                      "dedup_exact", "repetition_ratio",
-                      # round 4l overflow (r1–r3 green; rationale at
-                      # _DEFERRED_PAST_DRIVER_WINDOW in queries.py)
-                      "depth_histogram", "union_distinct",
-                      "intersect_users"}
-    overflow = set(order[50:])
-    assert all(
-        n.startswith("tpch_") or n in subsumed_green for n in overflow
-    ), sorted(overflow)
+    window, overflow = set(order[:50]), order[50:]
+    # rotated-in entries sit inside the checked window
+    assert set(_ROTATE_IN_R5) <= window, sorted(set(_ROTATE_IN_R5) - window)
+    # only multiply-green residents (≥3 recorded green rounds) may rotate out
+    thin = [n for n in _ROTATE_OUT_R5 if len(hist.get(n, [])) < 3]
+    assert not thin, thin
+    # entries whose implementation changed in round 5 must be in-window so
+    # the change gets a hard driver signal this round
+    changed_r5 = {"approx_users", "asof_join", "mixture_weights",
+                  "recrawl_priority", "ann_pq", "media_ann",
+                  "ann_ivf_multiprobe", "kmeans_embed"}
+    assert changed_r5 <= window, sorted(changed_r5 - window)
+    # staleness bound: every overflow entry has a driver-green row within
+    # the last two recorded rounds — nothing enters round 5 more than two
+    # rounds stale
+    stale = [n for n in overflow
+             if not any(r >= 3 for r in hist.get(n, []))]
+    assert not stale, stale
 
 
 @pytest.mark.parametrize("name", sorted(Q))
