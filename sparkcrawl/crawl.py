@@ -195,6 +195,13 @@ def main() -> None:
              "without crawling",
     )
     ap.add_argument(
+        "--recrawl-budget", type=int, metavar="N", default=None,
+        help="with --forget-before: after forgetting, re-enqueue the top-N "
+             "forgotten URLs by the Cho & Garcia-Molina age*change-rate "
+             "score as QUEUED frontier rows (they re-enter seen + sidecar; "
+             "a --resume run then refetches them in policy order)",
+    )
+    ap.add_argument(
         "--export", metavar="FMT:DIR",
         help="after the crawl, export the extracted table (S6 feed export): "
              "FMT is jsonl or csv, e.g. --export jsonl:/tmp/out",
@@ -223,9 +230,12 @@ def main() -> None:
         obey_robots=not args.no_robots,
         seen_filter_kind=args.seen_filter,
     )
+    if args.recrawl_budget is not None and args.forget_before is None:
+        ap.error("--recrawl-budget requires --forget-before (it re-enqueues "
+                 "the keys that maintenance run forgot)")
     spark = get_spark(cores=args.cores, app="sparkcrawl")
     if args.forget_before is not None:
-        from sparkcrawl.rounds import forget_seen
+        from sparkcrawl.rounds import forget_seen, recrawl_enqueue
 
         try:
             res = forget_seen(
@@ -235,6 +245,16 @@ def main() -> None:
                 f"forgot {res['forgot']} seen keys up to round "
                 f"{args.forget_before} (sidecar: {res['sidecar']})"
             )
+            if args.recrawl_budget is not None:
+                rq = recrawl_enqueue(
+                    spark, SnapStore(args.store_dir), cfg,
+                    args.recrawl_budget,
+                )
+                print(
+                    f"re-enqueued {rq['recrawled']} forgotten urls "
+                    f"(budget {args.recrawl_budget}) — resume with "
+                    "--resume to refetch"
+                )
         finally:
             spark.stop()
         return

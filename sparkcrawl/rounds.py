@@ -989,7 +989,14 @@ def forget_seen(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
     ).persist()
     n_expired = expired.count()
     out = {"round": last, "forgot": int(n_expired), "sidecar": "none"}
+    # Commit the forgotten keys as a table: the recrawl re-enqueue step
+    # (recrawl_enqueue) scores exactly this population, and the committed
+    # snapshot is its lineage — which maintenance run forgot which keys.
+    # Overwrite (not append): each maintenance run's candidates are ITS
+    # forgotten keys, never a stale earlier run's.
+    snaps["forgotten"] = store.overwrite("forgotten", expired)
     if n_expired == 0:
+        store.commit_round(last, snaps, meta=meta)
         expired.unpersist()
         return out
     kept = seen.filter(F.col("first_round") > up_to_round).unionByName(
@@ -1018,5 +1025,153 @@ def forget_seen(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
         0, int(meta.get("seen_total", n_expired)) - int(n_expired)
     )
     meta["forgot_keys"] = int(meta.get("forgot_keys", 0)) + int(n_expired)
+    store.commit_round(last, snaps, meta=meta)
+    return out
+
+
+def recrawl_enqueue(spark: SparkSession, store: SnapStore, cfg: CrawlConfig,
+                    budget: int) -> dict:
+    """Freshness-driven re-enqueue after seen-TTL forgetting (VERDICT r4 #5
+    — connect the ``recrawl_priority`` policy to the maintenance loop): score
+    the keys the preceding :func:`forget_seen` committed to the
+    ``forgotten`` table by Cho & Garcia-Molina's expected-missed-changes
+    formula (the same integer-micro-unit arithmetic the battery's
+    ``recrawl_priority`` query pins cross-engine) and return the
+    top-``budget`` of them to the frontier as QUEUED rows.
+
+    Mapping onto the crawl's observables: a URL is fetched at most once per
+    store, so the change-rate signal lives at HOST granularity — λ_host =
+    (n_terminal_fetches − 1) per round over the host's first→last fetched
+    round span (staged long division, exact in BIGINT micro-units); a URL's
+    age is rounds since its own last frontier_log observation, measured to
+    ``last_round + 1`` (the round a resumed crawl will run next), so age ≥ 1
+    and the score total-orders by (score DESC, url_hash ASC). Terminal
+    fetch outcomes only (state ∉ {ROBOTS_DENIED, RETRY}) count as
+    observations — the same population schedule_view calls "scheduled",
+    minus the non-terminal RETRY echoes.
+
+    Re-enqueued rows re-enter ``seen`` + the sidecar in the same
+    maintenance commit: enqueue-time dedup consults only seen, so a later
+    link rediscovery would otherwise enqueue a SECOND row while this one
+    still waits (the exact double-fetch forget_seen's QUEUED exemption
+    guards against). Their frontier ``priority`` carries the score (clamped
+    to int32 milli-units), so the next round's priority-ordered pop IS the
+    recrawl policy order; ``seq`` follows the seed rule (xxhash64(canon)),
+    ``depth`` resets to 0, and ``meta`` records the score for lineage. The
+    round manifest is rewritten to the post-enqueue snapshots — the crawl
+    resumes straight into the refetch.
+
+    Overflow: age ≤ rounds+1 (~1e4 at the design point) and λ_micro ≤
+    1e6 · per-host-per-round budget, so the score product stays ≤ ~1e13 —
+    far inside BIGINT; no staged reorder needed for the product itself.
+    """
+    from sparkcrawl.frontier import FRONTIER_COLS, with_bucket
+
+    rounds_done = store.committed_rounds()
+    if not rounds_done:
+        raise ValueError("recrawl_enqueue: store has no committed rounds")
+    last = rounds_done[-1]
+    man = store.round_manifest(last)
+    snaps = dict(man["tables"])
+    meta = dict(man.get("meta", {}))
+    if "forgotten" not in snaps:
+        raise ValueError(
+            "recrawl_enqueue: no forgotten table in the last round manifest "
+            "— run forget_seen first (the re-enqueue scores exactly the "
+            "population that maintenance run forgot)"
+        )
+    forgotten = store.read(spark, "forgotten", snaps["forgotten"])
+    log = store.read(spark, "frontier_log", snaps["frontier_log"])
+
+    fetches = log.filter(~F.col("state").isin("ROBOTS_DENIED", "RETRY"))
+    # λ per host, micro-units per round: staged division (exact, same
+    # pattern as the battery query — the remainder multiplies by 1e6 only
+    # after the quotient split, so intermediates stay < span·1e6)
+    host_rate = (
+        fetches.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_obs"),
+             F.min("round").alias("first_r"),
+             F.max("round").alias("last_r"))
+        .select(
+            "host",
+            F.expr(
+                "CAST(CASE WHEN last_r - first_r >= 1 THEN "
+                "((n_obs - 1) DIV (last_r - first_r)) * 1000000 "
+                "+ (((n_obs - 1) % (last_r - first_r)) * 1000000) "
+                "DIV (last_r - first_r) ELSE 0 END AS BIGINT)"
+            ).alias("rate_micro"),
+        )
+    )
+    # a key's last observation: any frontier_log state (a ROBOTS_DENIED key
+    # has no terminal fetch but was observed — and it also carries the host
+    # the forgotten/seen schema doesn't)
+    url_last = log.groupBy("url_hash", "canon").agg(
+        F.max("round").alias("last_obs_r"), F.max("host").alias("host"))
+    scored = (
+        forgotten.select("url_hash", "canon", "first_round")
+        .join(url_last, ["url_hash", "canon"], "left")
+        .join(host_rate, "host", "left")
+        .select(
+            "url_hash", "canon", "host",
+            (
+                (F.lit(last + 1)
+                 - F.coalesce("last_obs_r", F.col("first_round")))
+                .cast("long")
+                * F.coalesce("rate_micro", F.lit(0)).cast("long")
+            ).alias("score_micro"),
+        )
+    )
+    # distributed top-k (TakeOrderedAndProject), deterministic total order
+    picked = scored.orderBy(
+        F.desc("score_micro"), F.asc("url_hash")
+    ).limit(int(budget)).persist()
+    n_picked = picked.count()
+    out = {"round": last, "recrawled": int(n_picked)}
+    if n_picked == 0:
+        picked.unpersist()
+        return out
+
+    rows = with_bucket(
+        picked.select(
+            F.col("canon").alias("url"), "canon", "url_hash", "host",
+            F.lit(0).cast("int").alias("depth"),
+            F.expr("CAST(LEAST(score_micro DIV 1000, 2000000000) AS INT)")
+            .alias("priority"),
+            F.xxhash64("canon").alias("seq"),
+            F.lit(last + 1).cast("int").alias("discovered_round"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(0).cast("int").alias("retries"),
+            F.lit(0).cast("int").alias("redirects"),
+            F.concat(
+                F.lit('{"recrawl_score_micro":'),
+                F.col("score_micro").cast("string"), F.lit("}")
+            ).alias("meta"),
+        ),
+        n_buckets=cfg.n_buckets,
+    ).persist()
+
+    frontier = store.read(spark, "frontier", snaps["frontier"])
+    snaps["frontier"] = store.overwrite(
+        "frontier", frontier.unionByName(rows.select(*FRONTIER_COLS)))
+    snaps["seen"] = store.append(
+        "seen",
+        rows.select("bucket", "url_hash", "canon", _fp_col(),
+                    F.lit(last + 1).cast("int").alias("first_round")),
+        partition_by=["bucket"],
+        parent=snaps["seen"],
+    )
+    if "seen_filter" in snaps:
+        sidecar = store.read(spark, "seen_filter", snaps["seen_filter"])
+        merged = merge_bucket_blobs(
+            rows.select("bucket", "url_hash"), sidecar,
+            cfg.bloom_bits_per_bucket, cfg.bloom_k,
+            kind=cfg.seen_filter_kind,
+        )
+        snaps["seen_filter"] = store.overwrite("seen_filter", merged)
+    rows.unpersist()
+    picked.unpersist()
+    meta["seen_total"] = int(meta.get("seen_total", 0)) + int(n_picked)
+    meta["recrawled_keys"] = (
+        int(meta.get("recrawled_keys", 0)) + int(n_picked))
     store.commit_round(last, snaps, meta=meta)
     return out

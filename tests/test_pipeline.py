@@ -590,3 +590,119 @@ def test_forget_seen_exempts_queued_keys(spark, corpus, tmp_path_factory):
              .select("url_hash", "canon").collect()}
     assert after == want_kept
     assert res["forgot"] == len(before) - len(want_kept)
+
+
+def test_recrawl_enqueue_forget_score_requeue_refetch(
+        spark, corpus, tmp_path_factory):
+    """VERDICT r4 #5 end-to-end: forget → score → re-enqueue → refetch
+    across a round boundary, mirrored by an independent pure-Python oracle
+    over the same store tables. The re-enqueued set must be exactly the
+    top-budget forgotten keys by the Cho & Garcia-Molina age·λ score
+    (host-level λ from terminal fetch history, age to last_round+1, ties by
+    url_hash), the rows must re-enter seen + the cuckoo sidecar in the same
+    maintenance commit, and a --resume crawl must actually refetch them."""
+    from sparkcrawl.canon import seq_for_seed
+    from sparkcrawl.crawl import schedule_view
+    from sparkcrawl.rounds import forget_seen, recrawl_enqueue
+    from sparkcrawl.seenfilter import load_filter
+
+    cfg = CrawlConfig(round_size=50, bloom_min_seen=0,
+                      seen_filter_kind="cuckoo")
+    store_dir = str(tmp_path_factory.mktemp("store_recrawl"))
+    run_crawl(spark, corpus, store_dir, cfg)
+    store = SnapStore(store_dir)
+    last = store.committed_rounds()[-1]
+
+    # ---- pure-Python oracle over the committed tables (pre-maintenance)
+    log = [r.asDict() for r in store.read(spark, "frontier_log").collect()]
+    seen_before = [r.asDict() for r in store.read(spark, "seen").collect()]
+    queued = {(r["url_hash"], r["canon"])
+              for r in store.read(spark, "frontier")
+              .select("url_hash", "canon").collect()}
+    cutoff = last  # forget everything not still queued
+    expired = [r for r in seen_before
+               if r["first_round"] <= cutoff
+               and (r["url_hash"], r["canon"]) not in queued]
+    assert len(expired) > 8
+
+    fetches = [r for r in log if r["state"] not in ("ROBOTS_DENIED", "RETRY")]
+    hosts: dict[str, list[int]] = {}
+    for r in fetches:
+        hosts.setdefault(r["host"], []).append(r["round"])
+    rate = {}
+    for h, rs in hosts.items():
+        span = max(rs) - min(rs)
+        n = len(rs)
+        rate[h] = ((n - 1) // span) * 1000000 + (
+            ((n - 1) % span) * 1000000) // span if span >= 1 else 0
+    last_obs = {}
+    host_of = {}
+    for r in log:
+        k = (r["url_hash"], r["canon"])
+        last_obs[k] = max(last_obs.get(k, r["round"]), r["round"])
+        host_of[k] = max(host_of.get(k, r["host"]), r["host"])
+    def score(r):
+        k = (r["url_hash"], r["canon"])
+        age = (last + 1) - last_obs.get(k, r["first_round"])
+        return age * rate.get(host_of.get(k), 0)
+    budget = 6
+    want = sorted(expired, key=lambda r: (-score(r), r["url_hash"]))[:budget]
+    want_keys = {(r["url_hash"], r["canon"]) for r in want}
+    want_scores = {(r["url_hash"], r["canon"]): score(r) for r in want}
+    # the fixture must make the selection non-trivial (real score spread)
+    assert len({score(r) for r in expired}) > 1
+
+    # ---- pipeline: forget, then re-enqueue under budget
+    frontier_before = {(r["url_hash"], r["canon"])
+                       for r in store.read(spark, "frontier")
+                       .select("url_hash", "canon").collect()}
+    res_f = forget_seen(spark, store, cfg, up_to_round=cutoff)
+    assert res_f["forgot"] == len(expired)
+    res_r = recrawl_enqueue(spark, store, cfg, budget=budget)
+    assert res_r["recrawled"] == budget
+
+    fr = [r.asDict() for r in store.read(spark, "frontier").collect()]
+    new_rows = [r for r in fr
+                if (r["url_hash"], r["canon"]) not in frontier_before]
+    assert {(r["url_hash"], r["canon"]) for r in new_rows} == want_keys
+    for r in new_rows:
+        k = (r["url_hash"], r["canon"])
+        assert r["depth"] == 0 and r["retries"] == 0
+        assert r["seq"] == seq_for_seed(r["canon"])
+        assert r["discovered_round"] == last + 1
+        assert r["priority"] == min(want_scores[k] // 1000, 2_000_000_000)
+        assert f'"recrawl_score_micro":{want_scores[k]}' in r["meta"]
+
+    # re-enqueued keys are back in seen (first_round = last+1) + sidecar
+    seen_after = {(r["url_hash"], r["canon"]): r["first_round"]
+                  for r in store.read(spark, "seen").collect()}
+    for k in want_keys:
+        assert seen_after[k] == last + 1
+    filters = {r["bucket"]: load_filter(bytes(r["filter"]))
+               for r in store.read(spark, "seen_filter").collect()}
+    for r in new_rows:
+        b = r["url_hash"] % cfg.n_buckets  # Python % ≡ Spark pmod for n>0
+        assert filters[b].contains_many([r["url_hash"]]).all()
+    # manifest carries the maintenance lineage
+    meta = store.round_manifest(last)["meta"]
+    assert meta["recrawled_keys"] == budget
+    assert meta["forgot_keys"] == len(expired)
+
+    # ---- round boundary: resume refetches the re-enqueued urls
+    cfg2 = CrawlConfig(round_size=50, bloom_min_seen=0,
+                       seen_filter_kind="cuckoo", max_rounds=last + 4)
+    run_crawl(spark, corpus, store_dir, cfg2, resume=True)
+    refetched = {r["canon"]
+                 for r in schedule_view(spark, store)
+                 .filter(F.col("round") > last).collect()}
+    assert {c for _, c in want_keys} <= refetched
+
+
+def test_recrawl_enqueue_requires_forget_first(spark, corpus,
+                                               tmp_path_factory):
+    from sparkcrawl.rounds import recrawl_enqueue
+
+    store_dir = str(tmp_path_factory.mktemp("store_recrawl_noforget"))
+    run_crawl(spark, corpus, store_dir, CFG)
+    with pytest.raises(ValueError, match="forgotten"):
+        recrawl_enqueue(spark, SnapStore(store_dir), CFG, budget=3)
