@@ -532,7 +532,71 @@ measured small-round lower bound.
 Residual caveat: even on disjoint CPU sets all executors share one
 memory bus; these numbers are lower bounds on true multi-node N→4N
 efficiency.
+
+## Round-4 query-suite hotspot: split-in-lambda O(tokens²)
+
+Late in round 4 the shared shingle/bigram/chunk SQL was rewritten to bind
+`split(text,' ')` ONCE via a one-element-array lambda wrap
+(`flatten(transform(array(split(…)), w -> transform(sequence(…), i ->
+…element_at(w, i)…)))`): a bare `split` inside the index lambda is
+re-evaluated at every gram position — O(tokens²) per document on both
+engines. Measured steady-state at sf0.1 (same session, interleaved):
+full shingle explode 6.2 s → 0.8 s; `dup_spans` ~8.7 s → ~1.8 s; output
+bit-identical on Spark and DuckDB (zero mismatching rows vs the unwrapped
+form). Affects `minhash_*`, `ngram_jaccard`, `boilerplate_ngrams`,
+`paragraph_dedup`, `dup_spans`, `contamination` in BENCH_r04 vs r03.
+
+## Sidecar filter family: bloom vs cuckoo (round 4)
+
+The north star names a "partitioned bloom/cuckoo-filter URL-seen set";
+round 4 adds the cuckoo family (`seen_filter_kind="cuckoo"` /
+`--seen-filter cuckoo`, sparkcrawl/cuckoo.py). Same crawl on the same
+v5 corpus (60 hosts × 120 pages, 10 seeds, round_size 800, 12 rounds,
+bloom_min_seen=0 so the sidecar path is active every round, local[8],
+tmpfs store), interleaved A/B/A/B on an otherwise idle machine:
+
+| run | bloom wall | cuckoo wall | scheduled (both) |
+| --- | --- | --- | --- |
+| 1 | 93.8 s | 97.4 s | 1258 |
+| 2 | 73.3 s | 76.5 s | 1258 |
+
+Scheduled sets are identical URL-for-URL (also property-tested ≡ the
+bloom golden in tests/test_pipeline.py). The cuckoo path costs ~4% crawl
+wall — within the run-to-run noise band (±25% on this sandbox) — and
+buys in-place deletion: `forget_seen` (seen-TTL / recrawl) subtracts
+expired keys from cuckoo blobs at cost ∝ |expired| per bucket cogroup,
+where a bloom sidecar must rebuild from the full kept seen set
+(∝ |seen| ≈ 10^10 at the design point). Default stays bloom (smaller
+blobs at equal FPP); switch to cuckoo when the crawl needs refresh
+semantics.
+
+## Headline-suite size across rounds
+
+The bench total (`value` = queries + crawl wall) is only comparable
+round-over-round after normalizing for suite growth: r1–r2 ran 18
+queries, r3 ran 40, r4 runs 43 (`suite_n` and `queries_wall_sec` are now
+emitted in the JSON — compare per-query timings or `queries_wall_sec /
+suite_n`, never raw totals across rounds). Round 4l adds
+`quality_classifier` + `badwords_filter` (map-only text passes, ~0.8 s
+each at sf0.01) and `ann_pq` (persisted-index probe, ~1.3 s).
+
+## Currency of the primary scaling evidence at round-4 HEAD
+
+The promoted 0.876 (cpw4_1v4_800x1000, v5 corpus) was measured at commit
+4e959d4. Every later commit that touches crawl-path files changes only
+surfaces the measured path never executes: the cuckoo seen-filter backend
+is opt-in (`--seen-filter cuckoo`; the experiment ran the default bloom),
+seen-TTL forgetting is an offline maintenance op (`--forget-before`), and
+the remaining edits are query-battery/CLI/test code. Corroboration from
+this session's sf0.1 bench at HEAD: crawl totals byte-identical to the
+r3 driver artifact (scheduled 30193, dedup-dropped 169995) with crawl
+wall 67.1 s / 2982 urls/s — the pipeline's work content is unchanged, so
+the 4→16 efficiency measurement remains representative of HEAD.
 """)
+    extra = os.path.join(REPO, "BENCH", "BASELINE_extra.md")
+    if os.path.exists(extra):  # round-5+ sections maintained outside the
+        with open(extra) as f:  # generator (WARC ingest, currency notes)
+            md.append("\n" + f.read())
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("".join(md))
 
