@@ -206,6 +206,13 @@ def main() -> None:
     ap.add_argument("--regen-md", action="store_true",
                     help="rewrite BENCH/BASELINE.md from the recorded "
                          "cluster_result.json without running anything")
+    ap.add_argument("--profile", action="store_true",
+                    help="record SPARKCRAWL_PROFILE=1 stage ticks on the "
+                         "REAL (recorded) runs so the experiment's "
+                         "BASELINE.md row carries per-stage walls; ticks "
+                         "are passive driver-side timestamps at existing "
+                         "action boundaries (rounds.py _tick), so the "
+                         "measured plan is unchanged")
     ap.add_argument("--diagnose", action="store_true",
                     help="attribution mode: warmup + 1 measured run per "
                          "level with SPARKCRAWL_PROFILE=1 stage ticks; "
@@ -267,7 +274,7 @@ def main() -> None:
               f"{n_runs} runs) ...", flush=True)
         results[n] = run_level(n, corpus, args.round_size, args.rounds,
                                pyfiles, cpw, mem_gb, n_runs=n_runs,
-                               profile=args.diagnose)
+                               profile=args.diagnose or args.profile)
         print(results[n], flush=True)
 
     thr_lo, thr_hi = results[lo]["throughput"], results[hi]["throughput"]
