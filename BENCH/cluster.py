@@ -486,24 +486,52 @@ pushed 500k rows through one partition at both cluster sizes). Measured
 16-core effect on the 800×1000 corpus: wall 437 s → ~282 s, rounds 1-2
 from 36.5/28.4 s to ~10/19 s.
 
-## Where the 8→32 gap lives (VERDICT r2 #2)
+## Where the 8→32 gap lives (re-attributed round 5)
 
-Per-stage profile of the peak round (tables above): every driver-visible
-stage except one scales at ≥0.85 of 4× — `linkwork` (batch-dedup
-aggregation + seen join, all JVM) ~0.88, `table_writes` overlap-limited
-but a small slice. The entire residual is `cand_counts`, the fused
-fetch-join → Arrow extraction UDF → link-explode → counts job (~0.66 of
-4× at 8→32). That stage is exactly the kernel `machine_ceiling.py`
-measures (0.81-0.88 at 8→32 on pure pinned python, no Spark) — and the
-Spark version moves every page THREE more times across the same memory
-bus (parquet→JVM, JVM→Arrow→python worker, links back). A
-memory-bandwidth-bound stage degrades super-linearly with bus pressure,
-so the engine-side residual beyond the measured ceiling is consistent
-with Arrow transport sharing the saturated bus, not with scheduling or
-shuffle behavior (those live in the ≥0.85 stages). On a real 4N-node
-cluster each node brings its own memory system and the transport runs on
-private buses; the 4→16 disjoint-quarter experiments are the faithful
-stand-in.
+Round 3 attributed its 0.588 miss to the Python megastage riding a
+saturated memory bus; the round-4 worker fixes targeted exactly that,
+and the round-5 re-measure (`cpw8_1v4_800x1000`, v5 corpus, r5 HEAD,
+`--profile` per-stage walls on the recorded runs) moved the point to
+0.615 — and relocated the residual entirely. In the data-heavy peak
+round, `cand_counts` — the fused fetch-join → Arrow extraction →
+link-explode job, the stage that IS the `machine_ceiling.py` kernel —
+now scales at **3.63× of 4 (0.91)**, at/above the measured 0.882
+full-machine python ceiling. The megastage is no longer the problem,
+and the r3 "Arrow shares the saturated bus" super-linear-degradation
+signature is gone (the bounded synth row groups and the worker fast
+path removed it).
+
+What remains splits almost evenly three ways. Excess = 32c wall minus
+(8c wall / 4), summed over all 9 rounds of the best runs (total excess
+65.7 s of the 170.5 s wall):
+
+| stage | 8c Σ (s) | 32c Σ (s) | speedup | excess (s) |
+| --- | --- | --- | --- | --- |
+| cand_counts | 344.0 | 105.1 | 3.27× | 19.1 |
+| linkwork | 35.5 | 29.0 | 1.22× | 20.2 |
+| table_writes | 28.0 | 25.3 | 1.10× | 18.3 |
+| work_materialize | 9.2 | 8.5 | 1.09× | 6.2 |
+
+- `cand_counts`' own excess concentrates in the tiny head/tail rounds:
+  round 1 runs 0.76 s at 8c but 5.4 s at 32c — ANTI-scaling, 4× the
+  tasks each paying flat dispatch and Arrow-pool warmup across 4 worker
+  JVMs on rows-per-task too small to amortize anything. In rounds 4–6,
+  where the data lives, it runs 285.6 → 79.6 s = 3.59× of 4.
+- `linkwork` (batch-dedup aggregation + seen join, all JVM) and
+  `table_writes` (snapshot commit) are wall-flat across cluster sizes
+  outside the peak round: per-round latency/barrier terms — stage
+  scheduling, 4× shuffle-task setup, manifest commit — not bandwidth.
+
+The full-machine miss is therefore an Amdahl statement about per-round
+volume, the same axis the corpus-volume table below measures directly:
+at 32 cores this corpus's rounds (sized by sandbox tmpfs, not by
+choice) are too small to hide the engine's fixed per-round costs. At
+the design point — 10^10-URL frontiers, rounds four orders of magnitude
+heavier — the flat terms amortize away, and the compute that DOES scale
+with volume already runs at the machine's own ceiling. The 4→16
+disjoint-quarter experiment (per-executor resources constant, private
+CPU quarters ≈ real nodes) remains the faithful N→4N stand-in and
+passes the bar at both the r4 (0.876) and r5-HEAD (0.802) measurements.
 
 ## Efficiency vs per-round volume (why the large corpus is primary)
 
@@ -516,6 +544,7 @@ per-URL walls (wall / (scheduled + dedup_dropped)):
 | 800×500p250 (r2 code) | 1.04 M | 437 | 173 | 0.631 |
 | 800×1000p250 (r2/r3 code) | 2.11 M | 459 | 137 | 0.838 |
 | v5 800×1000p250 (r4 code) | 2.19 M | 417 | 119 | 0.876 |
+| v5 800×1000p250 (r5 HEAD) | 2.19 M | 384 | 120 | 0.802 |
 
 The single-worker cost per URL is flat across corpus sizes (437 vs 459
 µs — the pipeline is linear), but the 16-core cost per URL DROPS 21%
@@ -531,6 +560,10 @@ per-task fixed-cost fixes (attribution section above) then moved the
 same operating point to 0.876 on the v5 status/redirect-bearing corpus
 — a strictly HEAVIER workload (retry re-fetches, redirect legs) — by
 shrinking exactly the volume-independent term the table isolates. The
+round-5 HEAD re-measure of the identical experiment lands at 0.802 —
+the 16-core µs/url is stable (119 vs 120) while the 1×4c leg came in
+9% faster, which arithmetically lowers the ratio; see the currency
+section for why that makes 0.802 the conservative end of the band. The
 largest corpus that fits the sandbox (800×1000p250, tmpfs-resident with
 the store) is therefore the primary operating point; the smaller-corpus
 experiments are kept for the per-stage attribution above and as the
@@ -587,18 +620,26 @@ suite_n`, never raw totals across rounds). Round 4l adds
 `quality_classifier` + `badwords_filter` (map-only text passes, ~0.8 s
 each at sf0.01) and `ann_pq` (persisted-index probe, ~1.3 s).
 
-## Currency of the primary scaling evidence at round-4 HEAD
+## Currency of the scaling evidence at round-5 HEAD
 
-The promoted 0.876 (cpw4_1v4_800x1000, v5 corpus) was measured at commit
-4e959d4. Every later commit that touches crawl-path files changes only
-surfaces the measured path never executes: the cuckoo seen-filter backend
-is opt-in (`--seen-filter cuckoo`; the experiment ran the default bloom),
-seen-TTL forgetting is an offline maintenance op (`--forget-before`), and
-the remaining edits are query-battery/CLI/test code. Corroboration from
-this session's sf0.1 bench at HEAD: crawl totals byte-identical to the
-r3 driver artifact (scheduled 30193, dedup-dropped 169995) with crawl
-wall 67.1 s / 2982 urls/s — the pipeline's work content is unchanged, so
-the 4→16 efficiency measurement remains representative of HEAD.
+Round 5 re-measured BOTH operating points directly at r5 HEAD (commit
+04355b7 plus only measurement artifacts) on the same v5 800×1000 corpus
+— no commit-currency argument needed this round:
+
+- 4→16 disjoint-quarter (PRIMARY, `cpw4_1v4_800x1000`): **0.802 PASS**
+  (4c best 840.0 s / 2603.9 urls/s; 16c best 261.7 s / 8357.1 urls/s).
+- 8→32 full-machine (`cpw8_1v4_800x1000`): 0.615 MISS against the
+  0.882 machine ceiling — re-attributed above.
+
+The r4-era primary measurement is retained verbatim as
+`cpw4_1v4_800x1000_r4` (0.876, measured at commit 4e959d4 on identical
+corpus + protocol; 16c best 259.9 s — within 0.7% of the r5 16c wall).
+The r4/r5 spread is dominated by the 1×4c leg (911.2 s r4 vs 840.0 s
+r5): the small level is a ~42-minute exposure to one-sided host-steal
+noise per campaign, and a faster small-leg best mechanically LOWERS the
+reported efficiency, so 0.802 is the conservative end of the band.
+Every individual run of both campaigns is recorded under `all_runs` in
+cluster_result.json; both campaigns clear the ≥ 0.8 bar.
 """)
     extra = os.path.join(REPO, "BENCH", "BASELINE_extra.md")
     if os.path.exists(extra):  # round-5+ sections maintained outside the
