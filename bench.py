@@ -128,7 +128,7 @@ def machine_calib() -> dict:
             "pages_per_sec": round(reps / wall, 1)}
 
 
-def run_crawl_bench(spark) -> dict:
+def run_crawl_bench(spark) -> tuple[dict, dict]:
     import shutil
     import tempfile
 
@@ -148,7 +148,7 @@ def run_crawl_bench(spark) -> dict:
         enqueued = sum(s.get("enqueued", 0) for s in summaries)
         deduped = sum(s.get("dedup_dropped", 0) for s in summaries)
         wall_ms = sum(s["wall_ms"] for s in summaries) or 1
-        return {
+        crawl = {
             "rounds": len(summaries),
             "urls_scheduled": int(scheduled),
             "urls_enqueued": int(enqueued),
@@ -156,8 +156,59 @@ def run_crawl_bench(spark) -> dict:
             "wall_sec": round(wall_ms / 1000.0, 3),
             "urls_per_sec": round((scheduled + deduped) / (wall_ms / 1000.0), 1),
         }
+        maint = run_maintenance_bench(spark, corpus, store, cfg)
+        return crawl, maint
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def run_maintenance_bench(spark, corpus: str, store: str,
+                          cfg) -> dict:
+    """Maintenance-loop leg (round-5 surface: seen-TTL forget → freshness
+    re-enqueue → refetch), run on the crawl leg's finished store so it
+    measures the real post-crawl state, not a fixture. Three timed phases:
+
+    - ``forget``: expire every seen key first enqueued in the first half of
+      the crawl (QUEUED keys exempt). The bench store uses the default
+      bloom sidecar, so this is the EXPENSIVE honest path — a full rebuild
+      pass over the kept seen set (the cost the cuckoo backend exists to
+      avoid; cost ∝ |seen|, the design-point-relevant term).
+    - ``enqueue``: score the forgotten population by the Cho &
+      Garcia-Molina expected-missed-changes policy and re-enqueue the
+      top-``round_size`` as QUEUED frontier rows (seen + sidecar re-entry
+      in the same commit).
+    - ``refetch``: resume the crawl for exactly one more round — the
+      priority-ordered pop IS the recrawl policy order.
+    """
+    import time
+
+    from sparkcrawl.rounds import forget_seen, recrawl_enqueue
+    from sparkcrawl.crawl import run_crawl
+    from sparkcrawl.snapstore import SnapStore
+
+    half = cfg.max_rounds // 2
+    t0 = time.monotonic()
+    forgot = forget_seen(spark, SnapStore(store), cfg, up_to_round=half)
+    t1 = time.monotonic()
+    enq = recrawl_enqueue(spark, SnapStore(store), cfg,
+                          budget=cfg.round_size)
+    t2 = time.monotonic()
+    import dataclasses
+    refetch_cfg = dataclasses.replace(cfg, max_rounds=cfg.max_rounds + 1)
+    summaries = run_crawl(spark, corpus, store, refetch_cfg, resume=True)
+    t3 = time.monotonic()
+    refetch_sched = sum(s.get("scheduled", 0) for s in summaries)
+    assert forgot["forgot"] > 0, "maintenance leg forgot zero keys"
+    assert refetch_sched > 0, "refetch round scheduled zero urls"
+    return {
+        "forgot": int(forgot["forgot"]),
+        "reenqueued": int(enq["recrawled"]),
+        "refetch_scheduled": int(refetch_sched),
+        "forget_wall_sec": round(t1 - t0, 3),
+        "enqueue_wall_sec": round(t2 - t1, 3),
+        "refetch_wall_sec": round(t3 - t2, 3),
+        "wall_sec": round(t3 - t0, 3),
+    }
 
 
 def run_warc_ingest_bench(spark) -> dict:
@@ -232,7 +283,7 @@ def main() -> None:
             n = df.count()
             timings[name] = round(time.monotonic() - t0, 3)
             assert n >= 0
-        crawl = run_crawl_bench(spark)
+        crawl, maintenance = run_crawl_bench(spark)
         warc_ingest = run_warc_ingest_bench(spark)
     finally:
         spark.stop()
@@ -252,6 +303,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "crawl": crawl,
+                "maintenance": maintenance,
                 "warc_ingest": warc_ingest,
                 "cpus": cpus,
                 "corpus_version": synth.FORMAT_VERSION,
