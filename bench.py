@@ -55,6 +55,8 @@ HEADLINE = [
     # round 4l: model-inference quality filter, C4-style blocklist filter,
     # product-quantization ANN (persisted codes/codebook index + ADC)
     "quality_classifier", "badwords_filter", "ann_pq",
+    # round 5: Gopher composite quality rules (map-only text pass)
+    "gopher_rules",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))

@@ -720,6 +720,84 @@ def _q_repetition_ratio(engine: str) -> str:
     """
 
 
+def _q_gopher_rules(engine: str) -> str:
+    # Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    # Models: Methods, Analysis & Insights from Training Gopher", App. A1.1
+    # — reimplemented from the published rule list), token-granular variant:
+    # per-document quality signals + one composite keep/drop verdict, the
+    # filter every Gopher/MassiveText-descended pipeline runs before
+    # training. Signals:
+    #   n_words        — word count (published rule: 50..100k; pinned at
+    #                    >=30 for this corpus's 10..99-word documents)
+    #   mean_word_len  — published bounds [3, 10] verbatim
+    #   stop_hits      — distinct hits from the published 8-stopword list
+    #                    ("the","a","and","of","to","in","is","that");
+    #                    published rule >=2, pinned verbatim
+    #   top_token_frac — fraction of tokens taken by the most frequent
+    #                    token (the top-n-gram concentration family;
+    #                    published 2-gram threshold 0.20, applied here at
+    #                    token granularity)
+    #   dup_3gram_frac — duplicate word-3-gram fraction (same expression
+    #                    the standalone repetition_ratio entry pins;
+    #                    published duplicate-n-gram family, 0.30)
+    # All five are live expressions on both engines; on this synthetic
+    # corpus mean_word_len and dup_3gram_frac never trip (measured 3.7-5.3
+    # and <=0.072 at the test SFs) while the other three split the corpus
+    # (~300/500 kept) — on real web text all five bite. Scale shape: ONE
+    # linear map-only pass over text, no shuffle, no join — the verdict is
+    # a pure function of the row, so the filter distributes perfectly and
+    # rides the same scan as any other per-doc projection. kept compares
+    # the ROUNDED signal columns, so both engines decide boundaries on
+    # identical doubles.
+    sh = _shingles(engine)
+    stopw = "'the','a','and','of','to','in','is','that'"
+    if engine == "spark":
+        n = "size(split(text, ' '))"
+        dis, tot = f"size(array_distinct({sh}))", f"size({sh})"
+        stop = (
+            "size(array_intersect(array_distinct(split(text, ' ')), "
+            f"array({stopw})))"
+        )
+        # bind the split array once (the split-in-lambda O(tokens²) lesson);
+        # per-distinct-token occurrence count, max over the doc
+        top = (
+            "element_at(transform(array(split(text, ' ')), w -> "
+            "array_max(transform(array_distinct(w), "
+            "t -> size(filter(w, x -> x = t))))), 1)"
+        )
+    else:
+        n = "len(string_split(text, ' '))"
+        dis, tot = f"len(list_distinct({sh}))", f"len({sh})"
+        stop = (
+            "len(list_intersect(list_distinct(string_split(text, ' ')), "
+            f"[{stopw}]))"
+        )
+        top = (
+            "list_transform([string_split(text, ' ')], w -> "
+            "list_max(list_transform(list_distinct(w), "
+            "t -> len(list_filter(w, x -> x = t)))))[1]"
+        )
+    return f"""
+      SELECT doc_id, n_words, mean_word_len, stop_hits, top_token_frac,
+             dup_3gram_frac,
+             (n_words >= 30 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              AND stop_hits >= 2 AND top_token_frac <= 0.2
+              AND dup_3gram_frac <= 0.3) AS kept
+      FROM (
+        SELECT doc_id,
+               CAST({n} AS INT) AS n_words,
+               ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / CAST({n} AS DOUBLE), 6) AS mean_word_len,
+               CAST({stop} AS INT) AS stop_hits,
+               ROUND(CAST({top} AS DOUBLE) / CAST({n} AS DOUBLE), 6)
+                 AS top_token_frac,
+               ROUND(1.0 - CAST({dis} AS DOUBLE) / CAST({tot} AS DOUBLE), 6)
+                 AS dup_3gram_frac
+        FROM documents
+        WHERE length(text) - length(replace(text, ' ', '')) >= 2) s
+    """
+
+
 def _q_top_terms(engine: str) -> str:
     # corpus vocabulary head: distributed wordcount with a deterministic
     # top-k tie-break (count DESC, term ASC) — the canonical map-side-combine
@@ -2359,6 +2437,9 @@ def _q_range_join(engine: str) -> str:
 
 _SHARED_QUERIES: dict[str, Callable[[str], str | None]] = {
     "seen_antijoin": _q_seen_antijoin,
+    # round 5: Gopher composite quality rules (map-only text pass) — new
+    # entry, so it leads the mid-window and gets a driver signal this round
+    "gopher_rules": _q_gopher_rules,
     "perhost_topk": _q_perhost_topk,
     "priority_order": _q_priority_order,
     "depth_histogram": _q_depth_histogram,
@@ -3878,6 +3959,9 @@ _ROTATE_OUT_R5 = [
     "perhost_topk", "priority_order", "status_counts", "broadcast_join",
     "json_extract", "quality_score", "simhash", "embed_norms",
     "embed_neardup", "ngram_jaccard",
+    # makes room for the new round-5 gopher_rules entry: green r1–r4, and
+    # its NOT-EXISTS family stays in-window via the rotated-in tpch_q21
+    "seen_antijoin",
 ]
 
 

@@ -130,7 +130,7 @@ def test_query_matches_oracle(spark, duck, name):
                                   "dsir_weights", "dup_spans", "pii_redact",
                                   "winnowing", "mixture_weights",
                                   "bm25_search", "quality_classifier",
-                                  "badwords_filter"])
+                                  "badwords_filter", "gopher_rules"])
 def test_text_queries_survive_short_documents(spark, duck, name):
     """Spark's sequence(1, n) DESCENDS when n < 1, so an unguarded shingle/
     chunk explode crashes on 1-2-token documents (element_at(…, 0)). Every
@@ -293,6 +293,24 @@ def test_ann_pq_recall_vs_exact_l2(duck):
       LIMIT 10""").fetchall()}
     pq = {r[0] for r in duck.execute(_q_ann_pq("duckdb")).fetchall()}
     assert len(pq & exact) >= 7, (sorted(pq), sorted(exact))
+
+
+def test_gopher_rules_signals_are_live(spark):
+    """The composite Gopher filter must actually split the corpus — a
+    kept column that is all-true (or all-false) means a threshold is
+    pinned against dead data. Three of the five signals are live on the
+    synthetic corpus (n_words, stop_hits, top_token_frac); mean_word_len
+    and dup_3gram_frac are documented as vacuous-here/live-on-web-text,
+    so this test pins exactly which rules bite."""
+    rows = Q["gopher_rules"](spark, SF_DIR).collect()
+    kept = [r["kept"] for r in rows]
+    assert any(kept) and not all(kept), (sum(kept), len(kept))
+    assert any(r["n_words"] < 30 for r in rows)
+    assert any(r["stop_hits"] < 2 for r in rows)
+    assert any(r["top_token_frac"] > 0.2 for r in rows)
+    # the two documented-vacuous signals: computed, in-bounds everywhere
+    assert all(3.0 <= r["mean_word_len"] <= 10.0 for r in rows)
+    assert all(r["dup_3gram_frac"] <= 0.3 for r in rows)
 
 
 def test_queries_md_index_is_current():
