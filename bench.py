@@ -284,7 +284,10 @@ def main() -> None:
         # streaming gates measure the operator, not one-time process
         # bring-up (~4 s of state-store/worker init on this sandbox)
         q["depth_histogram"](spark, sf_dir).collect()
-        q["stream_stateful_totals"](spark, "/root/testdata/sf0.001").collect()
+        warm_sf = "/root/testdata/sf0.001"
+        q["stream_stateful_totals"](
+            spark, warm_sf if os.path.isdir(warm_sf) else sf_dir
+        ).collect()
         # index_build leg: the ANN queries probe build-once PERSISTED
         # indexes (sparkcrawl/indexstore.py — committed store tables, the
         # operational shape at 100 TB). Their one-time build used to land
