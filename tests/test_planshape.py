@@ -380,7 +380,8 @@ def test_range_join_is_bucketed_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-@pytest.mark.parametrize("name", ["quality_classifier", "badwords_filter"])
+@pytest.mark.parametrize("name", ["quality_classifier", "badwords_filter",
+                                  "gopher_rules"])
 def test_filter_passes_are_map_only(spark, name):
     """quality_classifier and badwords_filter are the pipeline's model-
     inference / blocklist filter stages: ONE whole-stage-codegen projection
