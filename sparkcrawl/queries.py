@@ -3278,7 +3278,13 @@ def _drain_available_now(spark: SparkSession, sf_dir: str, prefix: str,
     src = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(src).schema
     name = prefix + uuid.uuid4().hex[:8]
-    stream_dir = tempfile.mkdtemp(prefix="sparkcrawl_streamsrc_")
+    # staging + checkpoint on tmpfs: the sandbox VM disk has bursty
+    # writeback latency, and a streaming checkpoint is many tiny fsynced
+    # files — the same rationale as the bench store (a real deployment
+    # checkpoints to fast shared storage)
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    stream_dir = tempfile.mkdtemp(prefix="sparkcrawl_streamsrc_",
+                                  dir=tmp_base)
     os.symlink(os.path.abspath(src), os.path.join(stream_dir, "events.parquet"))
     stream = transform(
         spark.readStream.schema(schema)
@@ -3287,17 +3293,22 @@ def _drain_available_now(spark: SparkSession, sf_dir: str, prefix: str,
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "1 hour")
     )
+    ckpt_dir = tempfile.mkdtemp(prefix="sparkcrawl_ckpt_", dir=tmp_base)
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="sparkcrawl_ckpt_")
-        )
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    # the drained rows live in the memory sink; the one-shot staging dir
+    # and checkpoint (now on tmpfs) are dead weight once the query ends
+    import shutil
+
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    shutil.rmtree(stream_dir, ignore_errors=True)
     return spark.table(name)
 
 
