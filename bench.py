@@ -55,8 +55,10 @@ HEADLINE = [
     # round 4l: model-inference quality filter, C4-style blocklist filter,
     # product-quantization ANN (persisted codes/codebook index + ADC)
     "quality_classifier", "badwords_filter", "ann_pq",
-    # round 5: Gopher composite quality rules (map-only text pass)
-    "gopher_rules",
+    # round 5: Gopher composite quality rules (map-only text pass) and
+    # distributed BPE tokenizer training (one corpus shuffle + vocab-sized
+    # driver-paced merge iterations)
+    "gopher_rules", "bpe_merges",
 ]
 
 BENCH_HOSTS = int(os.environ.get("SPARKCRAWL_BENCH_HOSTS", "100"))

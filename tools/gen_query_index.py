@@ -62,6 +62,7 @@ DESC = {
     "dedup_exact": "exact content-hash dedup (hash-partitioned groupBy)",
     "repetition_ratio": "Gopher repetition signal (repeated-line/ngram ratios per doc)",
     "gopher_rules": "Gopher composite quality rules: 5 signals + keep/drop verdict (one map-only text pass)",
+    "bpe_merges": "distributed BPE tokenizer training: first 12 merge rules (one corpus shuffle, vocab-sized iterations)",
     "depth_histogram": "crawl-depth histogram (groupBy count)",
     "union_distinct": "union of two event slices + distinct",
     "intersect_users": "INTERSECT of two user sets",
