@@ -3551,7 +3551,11 @@ def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right non-overlapping string replace — the standard greedy
     BPE merge — and pair counting is a sliding window over the symbol
     array, identical on both engines, so the learned merge table is
-    bit-exact vs the DuckDB oracle. Ties break (count DESC, lhs, rhs).
+    bit-exact vs the DuckDB oracle (property-tested over random corpora
+    in tests/test_queries.py). Ties break (count DESC, lhs, rhs).
+    Assumption: corpus words never contain the '<'/'>' symbol markers —
+    true of split(text, ' ') tokens here; a general deployment would
+    strip or remap them in the word-count pass.
 
     Replaces nothing in the reference (public-Scrapy has no tokenizer);
     battery-side training-data op per the builder brief."""

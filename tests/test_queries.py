@@ -9,6 +9,8 @@ import os
 
 import duckdb
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
@@ -344,6 +346,46 @@ def test_bpe_merges_on_degenerate_corpus(spark, tmp_path):
             assert srows == [], srows
         else:
             assert 0 < len(srows) < 12, srows
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(words=st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+                      min_size=1, max_size=8))
+def test_bpe_merges_matches_oracle_on_random_corpora(spark, tmp_path_factory,
+                                                     words):
+    """Property: the Spark twin and the hand-built MATERIALIZED-CTE
+    oracle learn the IDENTICAL merge table on arbitrary small corpora —
+    the two implementations share no code, so any divergence in replace
+    semantics, pair windowing, or tie-breaking shows here."""
+    import uuid as _uuid
+
+    import duckdb as _dd
+
+    import sparkcrawl.queries as Qm
+
+    p = tmp_path_factory.mktemp("bpe_prop") / _uuid.uuid4().hex[:8]
+    text = " ".join(words)
+    spark.createDataFrame(
+        [(1, text, "en", "src0", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(p / "documents.parquet"))
+    spark.read.parquet(str(p / "documents.parquet")) \
+        .createOrReplaceTempView("documents")
+    orig = Qm.register_views
+    Qm.register_views = lambda *_a, **_k: None
+    try:
+        srows = sorted(tuple(r)
+                       for r in Qm._bpe_merges_spark(spark, str(p)).collect())
+    finally:
+        Qm.register_views = orig
+        spark.catalog.dropTempView("documents")
+    con = _dd.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{p}/documents.parquet/*.parquet'")
+    drows = sorted(tuple(r)
+                   for r in con.execute(Qm._q_bpe_merges_oracle()).fetchall())
+    assert srows == drows, (words, srows, drows)
 
 
 def test_gopher_rules_signals_are_live(spark):
