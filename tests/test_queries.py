@@ -49,6 +49,22 @@ def duck():
     return con
 
 
+def test_bench_headline_names_resolve():
+    """Every name bench.py times must exist in the battery — a typo'd
+    HEADLINE (or index_build) entry would crash the driver's bench run
+    at round end, which is far too late to notice."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import HEADLINE
+
+    missing = [n for n in HEADLINE if n not in Q]
+    assert not missing, missing
+    assert len(HEADLINE) == len(set(HEADLINE))  # no double-timed entries
+    for n in ("ann_ivf_multiprobe", "ann_pq", "media_ann",
+              "depth_histogram", "stream_stateful_totals"):
+        assert n in Q, n  # warmup + index_build legs
+
+
 def test_every_query_has_callable_and_most_have_oracles():
     assert len(Q) >= 25
     missing = [k for k in O if k not in Q]
