@@ -3536,6 +3536,22 @@ def _q_bpe_merges_oracle() -> str:
             + "\nUNION ALL ".join(sels) + ") u ORDER BY step")
 
 
+def _bpe_word_counts(spark: SparkSession) -> DataFrame:
+    """bpe_merges' ONLY corpus-sized stage: word frequencies in one
+    partial-agg shuffle of the slim (word, count) space — the exploded
+    text column itself never shuffles (plan-pinned in
+    tests/test_planshape.py)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table("documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
 def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training: learn the first ``_BPE_K``
     merge rules from the corpus (the Sennrich 2016 "Neural Machine
@@ -3563,12 +3579,7 @@ def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     release_cached()
     register_views(spark, sf_dir)
-    wc = _persist_tracked(
-        spark.table("documents")
-        .select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    wc = _persist_tracked(_bpe_word_counts(spark))
     st = wc.select(F.regexp_replace("word", "(.)", "<$1>").alias("st"), "c")
     # bind the symbol array once; guard the 1-symbol case (Spark's
     # sequence(1, 0) DESCENDS — the short-document lesson)

@@ -380,6 +380,24 @@ def test_range_join_is_bucketed_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_bpe_wordcount_shuffles_words_not_text(spark):
+    """bpe_merges' only corpus-sized stage is the word-count aggregate:
+    map-side partial count, ONE exchange hash-partitioned on the slim
+    word column — the text column exists only in the scan. Every merge
+    iteration after this runs over the |vocab|-row result."""
+    from sparkcrawl.queries import _bpe_word_counts, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    plan = _plan(_bpe_word_counts(spark))
+    assert "partial_count" in plan, plan
+    assert "hashpartitioning(word" in plan, plan
+    # the one exchange ships exactly the slim (word, partial count) pair —
+    # the text column exists only in the scan-side nodes
+    import re
+
+    assert re.search(r"\(\d+\) Exchange\nInput \[2\]: \[word#", plan), plan
+
+
 @pytest.mark.parametrize("name", ["quality_classifier", "badwords_filter",
                                   "gopher_rules"])
 def test_filter_passes_are_map_only(spark, name):
